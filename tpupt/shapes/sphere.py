@@ -1,0 +1,86 @@
+"""Analytic sphere intersection (counterpart of src/shapes/sphere.cpp).
+
+Spheres live in object space with stored o2w/w2o matrices (supports ellipsoid
+transforms exactly as the reference does by transforming the ray); the
+quadratic uses the numerically stable geometric form in place of the
+reference's EFloat interval arithmetic (sphere.cpp:118-170), with z/phi
+clipping applied to both roots."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _xform_point(m, p):
+    return jnp.einsum("...ij,...j->...i", m[..., :3, :3], p) + m[..., :3, 3]
+
+
+def _xform_vector(m, v):
+    return jnp.einsum("...ij,...j->...i", m[..., :3, :3], v)
+
+
+def intersect_sphere(o_w, d_w, tmax, w2o, radius, zmin, zmax, phimax):
+    """Returns (hit, t, p_obj) — t is in WORLD parametric units (the object
+    transform preserves the parameter since we transform o and d jointly).
+    All operands broadcastable; w2o is (..., 4, 4)."""
+    o = _xform_point(w2o, o_w)
+    d = _xform_vector(w2o, d_w)
+
+    a = jnp.sum(d * d, axis=-1)
+    # stable geometric reformulation: closest approach of the ray to center
+    neg_o = -o
+    t_ca = jnp.sum(neg_o * d, axis=-1) / jnp.where(a > 0, a, 1.0)
+    p_ca = o + t_ca[..., None] * d
+    d2 = jnp.sum(p_ca * p_ca, axis=-1)
+    r2 = radius * radius
+    disc = (r2 - d2) * a
+    valid = (disc >= 0.0) & (a > 0.0)
+    dt = jnp.sqrt(jnp.maximum(disc, 0.0)) / jnp.where(a > 0, a, 1.0)
+    t0 = t_ca - dt
+    t1 = t_ca + dt
+
+    def clipped(t):
+        p = o + t[..., None] * d
+        ok = (t > 1e-4) & (t < tmax)
+        ok &= (p[..., 2] >= zmin) & (p[..., 2] <= zmax)
+        phi = jnp.arctan2(p[..., 1], p[..., 0])
+        phi = jnp.where(phi < 0, phi + 2 * jnp.pi, phi)
+        ok &= phi <= phimax
+        return ok, p
+
+    ok0, p0 = clipped(t0)
+    ok1, p1 = clipped(t1)
+    use0 = valid & ok0
+    use1 = valid & ~ok0 & ok1
+    hit = use0 | use1
+    t = jnp.where(use0, t0, t1)
+    p = jnp.where(use0[..., None], p0, p1)
+    return hit, t, p
+
+
+def sphere_normal_uv(p_obj, o2w, radius, zmin, zmax, phimax, reverse):
+    """World-space shading normal and (u, v) at an object-space hit point
+    (sphere.cpp:175-230)."""
+    # normal: object-space radial direction through inverse-transpose
+    n_obj = p_obj / radius
+    # inverse transpose of o2w's upper-left is w2o^T applied to normal; we only
+    # have o2w here, so use its inverse-transpose columns via solve-free route:
+    # caller passes o2w; normals transform with the inverse transpose, which
+    # for pure rotations+translations equals o2w itself. For generality the
+    # traversal passes w2o and uses transform_normal below.
+    phi = jnp.arctan2(p_obj[..., 1], p_obj[..., 0])
+    phi = jnp.where(phi < 0, phi + 2 * jnp.pi, phi)
+    u = phi / phimax
+    theta = jnp.arccos(jnp.clip(p_obj[..., 2] / radius, -1.0, 1.0))
+    theta_min = jnp.arccos(jnp.clip(zmax / radius, -1.0, 1.0))
+    theta_max = jnp.arccos(jnp.clip(zmin / radius, -1.0, 1.0))
+    v = (theta - theta_min) / jnp.maximum(theta_max - theta_min, 1e-8)
+    return n_obj, u, v
+
+
+def transform_normal(w2o, n_obj):
+    """Normals transform by the inverse-transpose: n_w = (w2o)^T n_obj."""
+    n = jnp.einsum("...ji,...j->...i", w2o[..., :3, :3], n_obj)
+    return n / jnp.maximum(
+        jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20
+    )
