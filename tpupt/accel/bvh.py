@@ -262,6 +262,90 @@ def build_bvh(prim_lo: np.ndarray, prim_hi: np.ndarray,
     )
 
 
+WIDE_WIDTH = 8
+META_EMPTY = -2**31  # empty child slot sentinel (leaf encodings stay > this)
+
+
+def collapse_to_wide(b: BVHArrays, width: int = WIDE_WIDTH):
+    """Collapse the binary BVH into a width-ary BVH packed one node per
+    64-float row — the TPU-native node layout: a single row gather per
+    traversal step fetches all children's bounds + metadata (TPU gathers
+    cost ~constant per ROW, so wide rows are ~width times cheaper than
+    per-child gathers; cf. SURVEY.md §7 'flattened node tensors').
+
+    Row layout (f32[64]): [8 x (lo.xyz, hi.xyz) = 48][8 x meta(bitcast i32)]
+    [8 pad]. meta >= 0: child wide-node id; META_EMPTY: empty slot; other
+    meta < 0: leaf, encoding -(first * 64 + count) - 1.
+
+    Returns (nodes (Nw, 64) f32, root_meta) — root_meta handles the
+    degenerate all-leaf case."""
+    n_nodes = b.n_nodes
+    if n_nodes == 1:
+        # single node; make one wide row whose child 0 is that leaf
+        row = np.zeros((1, 64), np.float32)
+        row[0, 0:3] = b.lo[0]
+        row[0, 3:6] = b.hi[0]
+        meta = np.full(width, META_EMPTY, np.int32)
+        meta[0] = -(int(b.first[0]) * 64 + int(b.count[0])) - 1
+        row[0, 48:56] = meta.view(np.float32)
+        for c in range(1, width):
+            row[0, c * 6 : c * 6 + 3] = np.inf
+            row[0, c * 6 + 3 : c * 6 + 6] = -np.inf
+        return row, None
+
+    lo, hi, right, first, count = b.lo, b.hi, b.right, b.first, b.count
+
+    def leaf_meta(i):
+        return -(int(first[i]) * 64 + int(count[i])) - 1
+
+    # Collect up to `width` grandchildren by splitting the largest-area
+    # interior slot repeatedly (greedy SAH-area heuristic).
+    def expand(i):
+        slots = [i + 1, int(right[i])]
+        while len(slots) < width:
+            best, best_area = -1, -1.0
+            for k, s in enumerate(slots):
+                if count[s] == 0:
+                    a = float(_surface_area(lo[s], hi[s]))
+                    if a > best_area:
+                        best, best_area = k, a
+            if best < 0:
+                break
+            s = slots.pop(best)
+            slots.extend([s + 1, int(right[s])])
+        return slots
+
+    rows = []
+    # wide node ids assigned in BFS order
+    wide_id = {0: 0}
+    queue = [0]
+    rows.append(None)
+    while queue:
+        i = queue.pop()
+        slots = expand(i)
+        row = np.zeros(64, np.float32)
+        meta = np.full(width, META_EMPTY, np.int32)
+        for c in range(width):
+            if c < len(slots):
+                s = slots[c]
+                row[c * 6 : c * 6 + 3] = lo[s]
+                row[c * 6 + 3 : c * 6 + 6] = hi[s]
+                if count[s] > 0:
+                    meta[c] = leaf_meta(s)
+                else:
+                    wid = len(rows)
+                    rows.append(None)
+                    wide_id[s] = wid
+                    meta[c] = wid
+                    queue.append(s)
+            else:
+                row[c * 6 : c * 6 + 3] = np.inf
+                row[c * 6 + 3 : c * 6 + 6] = -np.inf
+        row[48:56] = meta.view(np.float32)
+        rows[wide_id[i]] = row
+    return np.stack(rows), None
+
+
 def _surface_area(lo, hi):
     d = np.maximum(hi - lo, 0.0)
     return 2.0 * (d[..., 0] * d[..., 1] + d[..., 0] * d[..., 2] + d[..., 1] * d[..., 2])

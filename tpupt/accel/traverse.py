@@ -166,8 +166,197 @@ def intersect(ds: DeviceScene, st: SceneStatics, o, d, tmax,
 
 def intersect_p(ds: DeviceScene, st: SceneStatics, o, d, tmax):
     """Shadow-ray occlusion test (BVHAccel::IntersectP, bvh.cpp:398)."""
-    hit, stats = intersect(ds, st, o, d, tmax, any_hit=True)
+    hit, stats = intersect_wide(ds, st, o, d, tmax, any_hit=True)
     return hit.valid, stats
+
+
+# ----------------------- wide-BVH (packed-row) path -------------------------
+
+WIDE_STACK = 48
+_BIG = jnp.float32(3.0e38)
+
+# optimal 19-comparator sorting network for 8 elements
+_SORT8 = [(0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3), (4, 6), (5, 7),
+          (1, 2), (5, 6), (0, 4), (3, 7), (1, 5), (2, 6), (1, 4), (3, 6),
+          (2, 4), (3, 5), (3, 4)]
+
+
+def _bitcast_i32(x):
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
+def intersect_wide(ds: DeviceScene, st: SceneStatics, o, d, tmax,
+                   any_hit: bool = False):
+    """The hot traversal: 8-wide BVH with one 256B node-row gather per step
+    and one 128B prim-row gather per primitive test (see
+    bvh.collapse_to_wide / device.pack_prim_rows for the layouts). Children
+    are ordered by slab-entry distance with an 8-element sorting network and
+    pushed far-to-near. Returns (Hit, TraversalStats) like `intersect`."""
+    n = o.shape[0]
+    perm = ray_permutation(d)
+    inv_d = ray_inv_d(d)
+    i32 = jnp.int32
+    lane_iota = jax.lax.broadcasted_iota(i32, (n, WIDE_STACK), 1)
+    n_rows = ds.prim_rows.shape[0]
+    meta_empty = jnp.int32(-2**31)
+
+    class _S(NamedTuple):
+        sp: jnp.ndarray
+        stack: jnp.ndarray
+        t: jnp.ndarray
+        gid: jnp.ndarray    # global prim id of closest hit (-1 miss)
+        ridx: jnp.ndarray   # leaf-order prim-row index of closest hit
+        b1: jnp.ndarray
+        b2: jnp.ndarray
+        nodes: jnp.ndarray
+        leaves: jnp.ndarray
+        tests: jnp.ndarray
+
+    init = _S(
+        sp=jnp.ones(n, i32),
+        stack=jnp.zeros((n, WIDE_STACK), i32),  # entry 0 = root node id 0
+        t=jnp.asarray(tmax, jnp.float32),
+        gid=jnp.full(n, -1, i32),
+        ridx=jnp.zeros(n, i32),
+        b1=jnp.zeros(n, jnp.float32),
+        b2=jnp.zeros(n, jnp.float32),
+        nodes=jnp.zeros(n, i32),
+        leaves=jnp.zeros(n, i32),
+        tests=jnp.zeros(n, i32),
+    )
+
+    def cond(s):
+        return jnp.any(s.sp > 0)
+
+    def body(s: _S):
+        active = s.sp > 0
+        top = jnp.maximum(s.sp - 1, 0)
+        raw = jnp.take_along_axis(s.stack, top[:, None], 1)[:, 0]
+        sp = jnp.where(active, s.sp - 1, s.sp)
+
+        is_int = active & (raw >= 0)
+        is_leaf = active & (raw < 0)
+        node = jnp.where(is_int, raw, 0)
+
+        # ---------- interior: one wide row gather, 8 slab tests ----------
+        row = ds.wide_nodes[node]  # (N, 64)
+        keys = []
+        metas = []
+        for c in range(8):
+            lo = row[:, c * 6 : c * 6 + 3]
+            hi = row[:, c * 6 + 3 : c * 6 + 6]
+            t_lo = (lo - o) * inv_d
+            t_hi = (hi - o) * inv_d
+            t_near = jnp.max(jnp.minimum(t_lo, t_hi), -1)
+            t_far = jnp.min(jnp.maximum(t_lo, t_hi), -1) * 1.0000004
+            m = _bitcast_i32(row[:, 48 + c])
+            ok = is_int & (t_near <= t_far) & (t_far > 0.0) & (t_near < s.t) \
+                & (m != meta_empty)
+            keys.append(jnp.where(ok, jnp.maximum(t_near, 0.0), _BIG))
+            metas.append(m)
+        # sort descending by key (farthest first) so nearest is pushed last
+        for (a, b) in _SORT8:
+            swap = keys[a] < keys[b]
+            ka = jnp.where(swap, keys[b], keys[a])
+            kb = jnp.where(swap, keys[a], keys[b])
+            ma = jnp.where(swap, metas[b], metas[a])
+            mb = jnp.where(swap, metas[a], metas[b])
+            keys[a], keys[b], metas[a], metas[b] = ka, kb, ma, mb
+        stack = s.stack
+        for c in range(8):
+            push = keys[c] < _BIG
+            at = lane_iota == sp[:, None]
+            stack = jnp.where(at & push[:, None], metas[c][:, None], stack)
+            sp = sp + push.astype(i32)
+
+        nodes = s.nodes + is_int.astype(i32)
+        leaves = s.leaves + is_leaf.astype(i32)
+
+        # ---------- leaf: packed prim rows ----------
+        v = jnp.where(is_leaf, -raw - 1, 0)
+        l_first = v >> 6
+        l_count = v & 63
+        t_cur, gid, ridx, b1, b2 = s.t, s.gid, s.ridx, s.b1, s.b2
+        tests = s.tests
+        for k in range(st.max_leaf):
+            valid = is_leaf & (k < l_count)
+            idx = jnp.minimum(l_first + k, n_rows - 1)
+            prow = ds.prim_rows[idx]  # (N, 32)
+            tests = tests + valid.astype(i32)
+            p_is_tri = _bitcast_i32(prow[:, 17]) == 1
+            p_gid = _bitcast_i32(prow[:, 16])
+            # triangle test
+            h_t, tt, _, tb1, tb2 = intersect_triangle(
+                o, perm, prow[:, 0:3], prow[:, 3:6], prow[:, 6:9], t_cur)
+            win = valid & p_is_tri & h_t & (tt > 1e-6) & (tt < t_cur)
+            t_cur = jnp.where(win, tt, t_cur)
+            gid = jnp.where(win, p_gid, gid)
+            ridx = jnp.where(win, idx, ridx)
+            b1 = jnp.where(win, tb1, b1)
+            b2 = jnp.where(win, tb2, b2)
+            if st.n_spheres > 0:
+                # sphere test from the packed w2o row
+                m3 = prow[:, 0:12].reshape(n, 3, 4)
+                os_ = jnp.einsum("nij,nj->ni", m3[:, :, :3], o) + m3[:, :, 3]
+                dsph = jnp.einsum("nij,nj->ni", m3[:, :, :3], d)
+                h_s, ts_, _ = _sphere_quadratic(
+                    os_, dsph, t_cur, prow[:, 12], prow[:, 13], prow[:, 14],
+                    prow[:, 15])
+                win_s = valid & ~p_is_tri & h_s & (ts_ < t_cur)
+                t_cur = jnp.where(win_s, ts_, t_cur)
+                gid = jnp.where(win_s, p_gid, gid)
+                ridx = jnp.where(win_s, idx, ridx)
+
+        if any_hit:
+            sp = jnp.where(gid >= 0, 0, sp)
+
+        return _S(sp, stack, t_cur, gid, ridx, b1, b2, nodes, leaves, tests)
+
+    out = jax.lax.while_loop(cond, body, init)
+
+    # reconstruct sphere object-space hit point for shading (post-loop)
+    if st.n_spheres > 0:
+        prow = ds.prim_rows[out.ridx]
+        m3 = prow[:, 0:12].reshape(n, 3, 4)
+        o_obj = jnp.einsum("nij,nj->ni", m3[:, :, :3], o) + m3[:, :, 3]
+        d_obj = jnp.einsum("nij,nj->ni", m3[:, :, :3], d)
+        p_obj = o_obj + out.t[:, None] * d_obj
+    else:
+        p_obj = jnp.zeros((n, 3))
+
+    hit = Hit(valid=out.gid >= 0, t=out.t, prim=out.gid, b1=out.b1,
+              b2=out.b2, p_obj=p_obj)
+    return hit, TraversalStats(out.nodes, out.leaves, out.tests)
+
+
+def _sphere_quadratic(o, d, tmax, radius, zmin, zmax, phimax):
+    """Object-space stable sphere quadratic with z/phi clipping (matches
+    shapes/sphere.intersect_sphere but takes pre-transformed rays)."""
+    a = jnp.sum(d * d, axis=-1)
+    t_ca = jnp.sum(-o * d, axis=-1) / jnp.where(a > 0, a, 1.0)
+    p_ca = o + t_ca[..., None] * d
+    d2 = jnp.sum(p_ca * p_ca, axis=-1)
+    disc = (radius * radius - d2) * a
+    valid = (disc >= 0.0) & (a > 0.0)
+    dt = jnp.sqrt(jnp.maximum(disc, 0.0)) / jnp.where(a > 0, a, 1.0)
+    t0 = t_ca - dt
+    t1 = t_ca + dt
+
+    def clipped(t):
+        p = o + t[..., None] * d
+        ok = (t > 1e-4) & (t < tmax)
+        ok &= (p[..., 2] >= zmin) & (p[..., 2] <= zmax)
+        phi = jnp.arctan2(p[..., 1], p[..., 0])
+        phi = jnp.where(phi < 0, phi + 2 * jnp.pi, phi)
+        ok &= phi <= phimax
+        return ok
+
+    ok0 = clipped(t0)
+    ok1 = clipped(t1)
+    use0 = valid & ok0
+    use1 = valid & ~ok0 & ok1
+    t = jnp.where(use0, t0, t1)
+    return use0 | use1, t, None
 
 
 def intersect_brute(ds: DeviceScene, st: SceneStatics, o, d, tmax):

@@ -1,0 +1,154 @@
+"""Scatter-add film with reconstruction filters and AOV telemetry.
+
+Counterpart of src/core/film.{h,cpp}: the reference accumulates
+filter-weighted samples into tile-private buffers merged under a mutex
+(film.cpp:118) plus atomic splats (film.cpp:144); here the film is a flat
+(H*W, C) tensor and every sample scatter-adds into its filter footprint with
+`.at[].add` (deterministic on TPU). Thesis per-pixel GeneralStats
+(film.h:86-91, WriteGeneralStats film.cpp:170-240) map to extra AOV channels
+accumulated by the same scatter.
+
+Filters (src/filters/): box, triangle, gaussian, mitchell, windowed sinc —
+evaluated vectorized over the static (2R)^2 footprint taps.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpupt.scene.flatten import (FILTER_BOX, FILTER_GAUSSIAN, FILTER_MITCHELL,
+                                 FILTER_SINC, FILTER_TRIANGLE, FilmConfig)
+
+
+class Film(NamedTuple):
+    """rgb: weighted sums; weight: filter-weight sums; splat: unweighted
+    atomic splats (BDPT/MLT); aov: (H*W, A) telemetry sums."""
+
+    rgb: jnp.ndarray     # (H*W, 3)
+    weight: jnp.ndarray  # (H*W,)
+    splat: jnp.ndarray   # (H*W, 3)
+    aov: jnp.ndarray     # (H*W, n_aov)
+
+
+N_AOV = 4  # node visits, leaf visits, prim tests, path length
+
+
+def new_film(xres: int, yres: int) -> Film:
+    n = xres * yres
+    return Film(rgb=jnp.zeros((n, 3)), weight=jnp.zeros(n),
+                splat=jnp.zeros((n, 3)), aov=jnp.zeros((n, N_AOV)))
+
+
+def filter_eval(ftype: int, params: Tuple[float, ...], radius: Tuple[float, float],
+                dx, dy):
+    """Evaluate the reconstruction filter at offsets (dx, dy) from the sample.
+    ftype/params/radius are static."""
+    rx, ry = radius
+    ax, ay = jnp.abs(dx), jnp.abs(dy)
+    inside = (ax <= rx) & (ay <= ry)
+    if ftype == FILTER_BOX:
+        w = jnp.ones_like(dx)
+    elif ftype == FILTER_TRIANGLE:
+        w = jnp.maximum(0.0, rx - ax) * jnp.maximum(0.0, ry - ay)
+    elif ftype == FILTER_GAUSSIAN:
+        alpha = params[0] if params else 2.0
+        expx = float(np.exp(-alpha * rx * rx))
+        expy = float(np.exp(-alpha * ry * ry))
+        gx = jnp.maximum(0.0, jnp.exp(-alpha * dx * dx) - expx)
+        gy = jnp.maximum(0.0, jnp.exp(-alpha * dy * dy) - expy)
+        w = gx * gy
+    elif ftype == FILTER_MITCHELL:
+        B, C = params if params else (1.0 / 3.0, 1.0 / 3.0)
+
+        def m1d(x):
+            x = jnp.abs(2.0 * x)
+            x2, x3 = x * x, x * x * x
+            return jnp.where(
+                x > 1.0,
+                ((-B - 6 * C) * x3 + (6 * B + 30 * C) * x2
+                 + (-12 * B - 48 * C) * x + (8 * B + 24 * C)) * (1.0 / 6.0),
+                ((12 - 9 * B - 6 * C) * x3 + (-18 + 12 * B + 6 * C) * x2
+                 + (6 - 2 * B)) * (1.0 / 6.0),
+            ) * (x < 2.0)
+
+        w = m1d(dx / rx) * m1d(dy / ry)
+    elif ftype == FILTER_SINC:
+        tau = params[0] if params else 3.0
+
+        def sinc(x):
+            x = jnp.abs(x) + 1e-8
+            return jnp.sin(jnp.pi * x) / (jnp.pi * x)
+
+        def windowed(x, r):
+            return jnp.where(jnp.abs(x) > r, 0.0, sinc(x) * sinc(x / tau))
+
+        w = windowed(dx, rx) * windowed(dy, ry)
+    else:
+        w = jnp.ones_like(dx)
+    return jnp.where(inside, w, 0.0)
+
+
+def add_samples(film: Film, cfg: FilmConfig, p_film, L, aov=None) -> Film:
+    """FilmTile::AddSample counterpart (film.h:130): p_film (N,2) continuous
+    raster coords; L (N,3). Scatters into the filter footprint."""
+    xres, yres = cfg.xres, cfg.yres
+    rx, ry = cfg.filter_radius
+    # discrete taps covering the footprint
+    nx = max(1, int(np.ceil(2.0 * rx - 0.5)) + 1) if rx > 0.5 else 1
+    ny = max(1, int(np.ceil(2.0 * ry - 0.5)) + 1) if ry > 0.5 else 1
+
+    # continuous -> discrete (pbrt: d = floor(c - 0.5) ... )
+    dpx = p_film[:, 0] - 0.5
+    dpy = p_film[:, 1] - 0.5
+    x0 = jnp.ceil(dpx - rx)
+    y0 = jnp.ceil(dpy - ry)
+
+    rgb, wsum = film.rgb, film.weight
+    aov_acc = film.aov
+    for jx in range(nx):
+        for jy in range(ny):
+            px = x0 + jx
+            py = y0 + jy
+            w = filter_eval(cfg.filter_type, cfg.filter_params,
+                            cfg.filter_radius, px - dpx, py - dpy)
+            ix = px.astype(jnp.int32)
+            iy = py.astype(jnp.int32)
+            valid = (ix >= 0) & (ix < xres) & (iy >= 0) & (iy < yres)
+            w = jnp.where(valid, w, 0.0)
+            pid = jnp.clip(iy, 0, yres - 1) * xres + jnp.clip(ix, 0, xres - 1)
+            rgb = rgb.at[pid].add(w[:, None] * L)
+            wsum = wsum.at[pid].add(w)
+            if aov is not None:
+                aov_acc = aov_acc.at[pid].add(w[:, None] * aov)
+    return Film(rgb=rgb, weight=wsum, splat=film.splat, aov=aov_acc)
+
+
+def add_splats(film: Film, cfg: FilmConfig, p_film, L) -> Film:
+    """Film::AddSplat counterpart (film.cpp:144) — unweighted accumulation."""
+    ix = jnp.clip(p_film[:, 0].astype(jnp.int32), 0, cfg.xres - 1)
+    iy = jnp.clip(p_film[:, 1].astype(jnp.int32), 0, cfg.yres - 1)
+    pid = iy * cfg.xres + ix
+    return film._replace(splat=film.splat.at[pid].add(L))
+
+
+def to_image(film: Film, cfg: FilmConfig, splat_scale: float = 0.0):
+    """Film::WriteImage normalization: rgb/weight + splatScale*splat."""
+    w = jnp.maximum(film.weight, 1e-10)[:, None]
+    img = film.rgb / w
+    if splat_scale:
+        img = img + splat_scale * film.splat
+    img = img * cfg.scale
+    return img.reshape(cfg.yres, cfg.xres, 3)
+
+
+def aov_images(film: Film, cfg: FilmConfig):
+    """Per-pixel telemetry maps (WriteGeneralStats parity): returns dict of
+    (H, W) arrays averaged per sample weight."""
+    w = jnp.maximum(film.weight, 1e-10)[:, None]
+    maps = film.aov / w
+    names = ["node_visits", "leaf_visits", "prim_tests", "path_length"]
+    return {nm: maps[:, i].reshape(cfg.yres, cfg.xres)
+            for i, nm in enumerate(names)}

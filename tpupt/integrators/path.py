@@ -1,0 +1,346 @@
+"""Wavefront path integrator with NEE + MIS + Russian roulette.
+
+Counterpart of PathIntegrator::Li (integrators/path.cpp:64-204) and
+EstimateDirect (core/integrator.cpp:109-217), inverted for TPU: instead of a
+per-ray bounce recursion, the whole camera-ray batch advances through the
+bounce loop together with a live mask (the reference's unbounded `for
+(bounces)` with RR, path.cpp:82, becomes a statically unrolled vertex loop —
+each vertex's sampler dimensions are static, exactly like the reference's
+deterministic dimension consumption).
+
+Per vertex: intersect -> (MIS-weighted) emitted light -> NEE light sample +
+shadow ray -> BSDF sample -> throughput update -> RR. Per-ray traversal
+counters accumulate into film AOVs (GeneralStats parity, SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpupt.accel.traverse import intersect_p, intersect_wide as intersect
+from tpupt.cameras.perspective import generate_rays
+from tpupt.core.sampling import power_heuristic
+from tpupt.core.vecmath import absdot, cross, dot, normalize, offset_ray_origin
+from tpupt.film import film as filmmod
+from tpupt.lights.lights import (emitted_radiance, pdf_li, sample_li)
+from tpupt.materials import bsdf as bx
+from tpupt.samplers.samplers import WavefrontSampler
+from tpupt.scene.device import DeviceScene, SceneStatics, upload
+from tpupt.scene.flatten import LIGHT_INFINITE, FlatScene
+from tpupt.shapes.sphere import sphere_normal_uv, transform_normal
+
+_RR_START = 3  # bounces before RR kicks in (path.cpp:193)
+
+
+class ShadingPoint(NamedTuple):
+    p: jnp.ndarray       # (N,3)
+    ns: jnp.ndarray      # shading normal
+    ng: jnp.ndarray      # geometric normal
+    uv: jnp.ndarray      # (N,2)
+    mat: jnp.ndarray     # (N,) i32
+    light: jnp.ndarray   # (N,) i32 area-light id or -1
+
+
+def shading_point(ds: DeviceScene, st: SceneStatics, hit, o, d) -> ShadingPoint:
+    """SurfaceInteraction assembly (core/interaction.cpp:94 analog)."""
+    p = o + hit.t[..., None] * d
+    prim = jnp.maximum(hit.prim, 0)
+    is_tri = prim < st.n_tris
+
+    tid = jnp.clip(prim, 0, max(st.n_tris - 1, 0))
+    b1 = hit.b1
+    b2 = hit.b2
+    b0 = 1.0 - b1 - b2
+    ns_t = normalize(b0[..., None] * ds.tri_n0[tid]
+                     + b1[..., None] * ds.tri_n1[tid]
+                     + b2[..., None] * ds.tri_n2[tid])
+    ng_t = normalize(cross(ds.tri_p1[tid] - ds.tri_p0[tid],
+                           ds.tri_p2[tid] - ds.tri_p0[tid]))
+    # keep ng on the same side as ns (triangle.cpp:414 orients ng to ns)
+    ng_t = jnp.where(dot(ng_t, ns_t)[..., None] < 0.0, -ng_t, ng_t)
+    uv_t = (b0[..., None] * ds.tri_uv0[tid] + b1[..., None] * ds.tri_uv1[tid]
+            + b2[..., None] * ds.tri_uv2[tid])
+    mat_t = ds.tri_mat[tid]
+    light_t = ds.tri_light[tid]
+
+    sid = jnp.clip(prim - st.n_tris, 0, max(st.n_spheres - 1, 0))
+    n_obj, u_s, v_s = sphere_normal_uv(
+        hit.p_obj, ds.sph_o2w[sid], ds.sph_radius[sid], ds.sph_zmin[sid],
+        ds.sph_zmax[sid], ds.sph_phimax[sid])
+    ns_s = transform_normal(ds.sph_w2o[sid], n_obj)
+    ns_s = jnp.where(ds.sph_reverse[sid][..., None], -ns_s, ns_s)
+    uv_s = jnp.stack([u_s, v_s], -1)
+    mat_s = ds.sph_mat[sid]
+    light_s = ds.sph_light[sid]
+
+    sel = is_tri[..., None]
+    return ShadingPoint(
+        p=p,
+        ns=jnp.where(sel, ns_t, ns_s),
+        ng=jnp.where(sel, ng_t, ns_s),
+        uv=jnp.where(sel, uv_t, uv_s),
+        mat=jnp.where(is_tri, mat_t, mat_s),
+        light=jnp.where(is_tri, light_t, light_s),
+    )
+
+
+def _infinite_light_le(ds, st):
+    """Constant-radiance sum of infinite lights (round-1 env maps)."""
+    if st.n_lights == 0:
+        return jnp.zeros(3)
+    is_inf = ds.light_type == LIGHT_INFINITE
+    return jnp.sum(jnp.where(is_inf[:, None], ds.light_L, 0.0), axis=0)
+
+
+def path_li(ds: DeviceScene, st: SceneStatics, sampler: WavefrontSampler,
+            max_depth: int, rr_threshold: float,
+            px, py, sample_idx, o, d):
+    """Trace one batch of camera rays to completion.
+
+    Vertex-count semantics match path.cpp: the bounce loop visits maxDepth
+    NEE/scatter vertices plus one final emission-only vertex (path.cpp:82's
+    `if (bounces >= maxDepth) break` sits after the emission block).
+
+    The loop body is a single `lax.fori_loop` iteration (one compiled
+    traversal + one shadow traversal, not per-bounce copies); per-bounce
+    sampler dimensions are precomputed into (D, 7, N) tensors since LDS bases
+    are static per dimension. Returns (L (N,3), aov (N,4))."""
+    n = o.shape[0]
+
+    # precompute all per-bounce sample dimensions (static dim indices)
+    dims = []
+    for bounce in range(max_depth):
+        base = 5 + bounce * 7
+        dims.append(jnp.stack(
+            [sampler.dim(px, py, sample_idx, base + k) for k in range(7)]))
+    u_all = (jnp.stack(dims) if dims
+             else jnp.zeros((1, 7, n)))  # (D, 7, N)
+
+    inf_le = _infinite_light_le(ds, st)
+    inf_pmf = 1.0 / max(st.n_lights, 1)
+    tmax_init = jnp.full(n, jnp.inf)
+    light_cdf = jnp.cumsum(ds.light_pdf)
+
+    class _S(NamedTuple):
+        o: jnp.ndarray
+        d: jnp.ndarray
+        L: jnp.ndarray
+        beta: jnp.ndarray
+        alive: jnp.ndarray
+        prev_specular: jnp.ndarray
+        prev_pdf: jnp.ndarray
+        prev_p: jnp.ndarray
+        eta_scale: jnp.ndarray
+        aov_nodes: jnp.ndarray
+        aov_leaves: jnp.ndarray
+        aov_tests: jnp.ndarray
+        path_len: jnp.ndarray
+
+    init = _S(o=o, d=d, L=jnp.zeros((n, 3)), beta=jnp.ones((n, 3)),
+              alive=jnp.ones(n, bool), prev_specular=jnp.ones(n, bool),
+              prev_pdf=jnp.ones(n), prev_p=o, eta_scale=jnp.ones(n),
+              aov_nodes=jnp.zeros(n, jnp.int32),
+              aov_leaves=jnp.zeros(n, jnp.int32),
+              aov_tests=jnp.zeros(n, jnp.int32),
+              path_len=jnp.zeros(n, jnp.int32))
+
+    def body(bounce, s: _S):
+        o, d = s.o, s.d
+        L, beta, alive = s.L, s.beta, s.alive
+        is_last = bounce >= max_depth  # emission-only final vertex
+
+        hit, tstats = intersect(ds, st, o, d, tmax_init)
+        aov_nodes = s.aov_nodes + jnp.where(alive, tstats.node_visits, 0)
+        aov_leaves = s.aov_leaves + jnp.where(alive, tstats.leaf_visits, 0)
+        aov_tests = s.aov_tests + jnp.where(alive, tstats.prim_tests, 0)
+        path_len = s.path_len + alive.astype(jnp.int32)
+
+        sp = shading_point(ds, st, hit, o, d)
+        wo = -d
+
+        # ---- emitted radiance at the hit (path.cpp:97-113) ----
+        if st.n_lights > 0:
+            le = emitted_radiance(ds, st, hit.prim, sp.light, wo, sp.ns)
+            le = jnp.where((alive & hit.valid)[..., None], le, 0.0)
+            lp = pdf_li(ds, st, s.prev_p, d, jnp.maximum(hit.prim, 0), hit.t)
+            lid0 = jnp.clip(sp.light, 0, max(st.n_lights - 1, 0))
+            pmf0 = ds.light_pdf[lid0]
+            w_bsdf = power_heuristic(1.0, s.prev_pdf, 1.0, lp * pmf0)
+            w = jnp.where(s.prev_specular, 1.0, w_bsdf)
+            L = L + beta * le * w[..., None]
+
+            # miss -> infinite lights (path.cpp:100-107)
+            miss = alive & ~hit.valid
+            w_inf = jnp.where(
+                s.prev_specular, 1.0,
+                power_heuristic(1.0, s.prev_pdf, 1.0,
+                                (1.0 / (4.0 * np.pi)) * inf_pmf))
+            L = L + jnp.where(miss[..., None],
+                              beta * inf_le * w_inf[..., None], 0.0)
+
+        alive = alive & hit.valid & ~is_last
+
+        # per-bounce sample dims (index clamped for the final vertex whose
+        # shading results are masked out anyway)
+        ub = u_all[jnp.minimum(bounce, max(max_depth - 1, 0))]
+
+        # ---- material gather + local frame ----
+        mp = bx.gather_mat_params(ds, sp.mat)
+        t_f, b_f, n_f = bx.make_frame(sp.ns)
+        wo_l = bx.to_local(t_f, b_f, n_f, wo)
+
+        # ---- NEE (UniformSampleOneLight, integrator.cpp:86) ----
+        if st.n_lights > 0:
+            lid = jnp.clip(jnp.searchsorted(light_cdf, ub[0], side="right"),
+                           0, st.n_lights - 1).astype(jnp.int32)
+            pmf = ds.light_pdf[lid]
+            ls = sample_li(ds, st, lid, sp.p, ub[1], ub[2])
+            wi_l = bx.to_local(t_f, b_f, n_f, ls.wi)
+            f_l, pdf_b = bx.eval_pdf(mp, wo_l, wi_l)
+            f_l = f_l * absdot(ls.wi, sp.ns)[..., None]
+            can = alive & (ls.pdf > 0.0) & (jnp.max(f_l, -1) > 0.0)
+            # shadow ray (VisibilityTester::Unoccluded, light.h:99)
+            o_sh = offset_ray_origin(sp.p, sp.ng, ls.wi)
+            occluded, sstats = intersect_p(
+                ds, st, o_sh, ls.wi,
+                jnp.where(can, ls.dist * 0.999, 0.0))
+            aov_nodes += jnp.where(can, sstats.node_visits, 0)
+            aov_tests += jnp.where(can, sstats.prim_tests, 0)
+            w_l = jnp.where(ls.is_delta, 1.0,
+                            power_heuristic(1.0, ls.pdf, 1.0, pdf_b))
+            contrib = beta * f_l * ls.li * (
+                w_l / jnp.maximum(ls.pdf * pmf, 1e-12))[..., None]
+            L = L + jnp.where((can & ~occluded)[..., None], contrib, 0.0)
+
+        # ---- BSDF sampling (path.cpp:144-160) ----
+        bs = bx.sample(mp, wo_l, ub[3], ub[4], ub[5])
+        wi_w = bx.to_world(t_f, b_f, n_f, bs.wi)
+        cos_w = absdot(wi_w, sp.ns)
+        ok = bs.pdf > 1e-9
+        thru = bs.f * (cos_w / jnp.maximum(bs.pdf, 1e-9))[..., None]
+        beta = beta * jnp.where((ok & alive)[..., None], thru,
+                                jnp.where(alive[..., None], 0.0, 1.0))
+        alive = alive & ok & (jnp.max(beta, -1) > 0.0)
+        eta_scale = s.eta_scale * jnp.where(alive, bs.eta_scale, 1.0)
+        prev_specular = jnp.where(alive, bs.specular, s.prev_specular)
+        prev_pdf = jnp.where(alive, jnp.maximum(bs.pdf, 1e-12), s.prev_pdf)
+        prev_p = jnp.where(alive[..., None], sp.p, s.prev_p)
+
+        # ---- spawn next ray ----
+        o = jnp.where(alive[..., None], offset_ray_origin(sp.p, sp.ng, wi_w), o)
+        d = jnp.where(alive[..., None], wi_w, d)
+
+        # ---- russian roulette (path.cpp:193-199) ----
+        rr_beta = jnp.max(beta * eta_scale[..., None], -1)
+        q = jnp.maximum(0.05, 1.0 - rr_beta)
+        do_rr = (bounce >= _RR_START) & (rr_beta < rr_threshold) & alive
+        die = do_rr & (ub[6] < q)
+        alive = alive & ~die
+        denom = jnp.where(do_rr & ~die, jnp.maximum(1.0 - q, 1e-6), 1.0)
+        beta = jnp.where(die[..., None], 0.0, beta / denom[..., None])
+
+        return _S(o, d, L, beta, alive, prev_specular, prev_pdf, prev_p,
+                  eta_scale, aov_nodes, aov_leaves, aov_tests, path_len)
+
+    out = jax.lax.fori_loop(0, max_depth + 1, body, init)
+    aov = jnp.stack([out.aov_nodes.astype(jnp.float32),
+                     out.aov_leaves.astype(jnp.float32),
+                     out.aov_tests.astype(jnp.float32),
+                     out.path_len.astype(jnp.float32)], -1)
+    return out.L, aov
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache — wavefront pipelines are large
+    programs and TPU compiles are expensive; cache them across processes."""
+    import os
+
+    if jax.config.jax_compilation_cache_dir is None:
+        cache = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
+        try:
+            os.makedirs(cache, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        except Exception:
+            pass
+
+
+class Renderer:
+    """SamplerIntegrator::Render counterpart (integrator.cpp:230): drives
+    sample-indexed full-frame wavefronts and accumulates the film."""
+
+    def __init__(self, scene: FlatScene, light_strategy: str = None):
+        _enable_compile_cache()
+        strategy = light_strategy or (
+            "power" if scene.integrator.light_strategy == "power" else "uniform")
+        self.scene = scene
+        self.ds, self.st = upload(scene, light_strategy=strategy)
+        self.sampler = WavefrontSampler(
+            scene.sampler.name, scene.film.xres, scene.film.yres,
+            scene.sampler.spp, scene.sampler.seed)
+        self.cfg = scene.film
+        cam = scene.camera
+        xres, yres = self.cfg.xres, self.cfg.yres
+
+        px, py = np.meshgrid(np.arange(xres, dtype=np.int32),
+                             np.arange(yres, dtype=np.int32), indexing="xy")
+        # crop window (pbrt.cpp:94, film.cpp GetSampleBounds)
+        cx0, cx1, cy0, cy1 = self.cfg.crop
+        mask = ((px >= cx0 * xres) & (px < max(cx1 * xres, cx0 * xres + 1))
+                & (py >= cy0 * yres) & (py < max(cy1 * yres, cy0 * yres + 1)))
+        self.px = jnp.asarray(px.ravel()[mask.ravel()])
+        self.py = jnp.asarray(py.ravel()[mask.ravel()])
+
+        max_depth = scene.integrator.max_depth
+        rr_threshold = scene.integrator.rr_threshold
+        ds, st, sampler = self.ds, self.st, self.sampler
+
+        def step(film, sample_idx, px_b, py_b):
+            jx, jy = sampler.camera_jitter(px_b, py_b, sample_idx)
+            p_raster = jnp.stack([px_b.astype(jnp.float32) + jx,
+                                  py_b.astype(jnp.float32) + jy], -1)
+            ul1 = sampler.dim(px_b, py_b, sample_idx, 2)
+            ul2 = sampler.dim(px_b, py_b, sample_idx, 3)
+            o, d = generate_rays(cam.type, ds.raster_to_camera, ds.cam_to_world,
+                                 p_raster, jnp.stack([ul1, ul2], -1),
+                                 cam.lens_radius, cam.focal_distance,
+                                 xres, yres)
+            L, aov = path_li(ds, st, sampler, max_depth, rr_threshold,
+                             px_b, py_b, sample_idx, o, d)
+            # NaN/inf clamping to black (integrator.cpp:300-321)
+            bad = ~jnp.isfinite(L).all(-1) | (jnp.min(L, -1) < 0.0)
+            L = jnp.where(bad[..., None], 0.0, L)
+            if np.isfinite(self.cfg.max_sample_luminance):
+                from tpupt.core.spectrum import luminance
+
+                lum = luminance(L)
+                s = jnp.where(lum > self.cfg.max_sample_luminance,
+                              self.cfg.max_sample_luminance / jnp.maximum(lum, 1e-9),
+                              1.0)
+                L = L * s[..., None]
+            return filmmod.add_samples(film, self.cfg, p_raster, L, aov)
+
+        self._step = jax.jit(step, donate_argnums=(0,))
+
+    def render(self, spp: int = None, film=None, verbose: bool = False):
+        spp = spp or self.scene.sampler.spp
+        film = film if film is not None else filmmod.new_film(
+            self.cfg.xres, self.cfg.yres)
+        for s in range(spp):
+            film = self._step(film, jnp.uint32(s), self.px, self.py)
+            if verbose:
+                print(f"  sample {s + 1}/{spp}", flush=True)
+        return film
+
+    def image(self, film):
+        return np.asarray(filmmod.to_image(film, self.cfg))
+
+    def aovs(self, film):
+        return {k: np.asarray(v)
+                for k, v in filmmod.aov_images(film, self.cfg).items()}

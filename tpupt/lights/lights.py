@@ -1,0 +1,189 @@
+"""Batched light sampling (counterpart of src/lights/ + core/light.h).
+
+`sample_li` draws a direction toward a chosen light and returns incident
+radiance, solid-angle pdf, and the shadow-ray parameters; `pdf_li_*` return
+the pdf that light sampling would assign to a BSDF-sampled direction (for the
+other MIS half, integrator.cpp:109-217 EstimateDirect). Area lights are
+prim-linked rows: triangle lights sample the triangle uniformly by area
+(triangle.cpp Sample), sphere lights sample the visible cone
+(sphere.cpp:232-290 Sample(ref))."""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from tpupt.core.sampling import (uniform_cone_pdf, uniform_sample_cone,
+                                 uniform_sample_sphere, uniform_sample_triangle)
+from tpupt.core.vecmath import coordinate_system, cross, dot, length
+from tpupt.materials.bsdf import to_world
+from tpupt.scene.flatten import (LIGHT_AREA, LIGHT_DISTANT, LIGHT_INFINITE,
+                                 LIGHT_POINT, LIGHT_SPOT)
+
+
+class LightSample(NamedTuple):
+    wi: jnp.ndarray       # (N,3) world, toward the light
+    li: jnp.ndarray       # (N,3) incident radiance (already distance-attenuated)
+    pdf: jnp.ndarray      # (N,) solid-angle pdf (1 for delta lights)
+    dist: jnp.ndarray     # (N,) shadow-ray length
+    is_delta: jnp.ndarray  # (N,) bool
+
+
+def _world_radius(ds):
+    return 0.5 * length(ds.world_hi - ds.world_lo) + 1e-3
+
+
+def _gather_tri_light_geo(ds, prim):
+    p0 = ds.tri_p0[prim]
+    p1 = ds.tri_p1[prim]
+    p2 = ds.tri_p2[prim]
+    nn = cross(p1 - p0, p2 - p0)
+    area2 = length(nn)
+    n = nn / jnp.maximum(area2, 1e-20)[..., None]
+    return p0, p1, p2, n, 0.5 * area2
+
+
+def _sphere_center_radius(ds, sid):
+    m = ds.sph_o2w[sid]
+    c = m[..., :3, 3]
+    # uniform-scale assumption for world radius (column norm)
+    s = jnp.sqrt(jnp.sum(m[..., :3, 0] ** 2, -1))
+    return c, ds.sph_radius[sid] * s
+
+
+def sample_li(ds, st, light_id, p, u1, u2):
+    """Sample one light toward shading points p (N,3). light_id (N,) i32."""
+    lt = ds.light_type[light_id]
+    lL = ds.light_L[light_id]
+    lpos = ds.light_pos[light_id]
+    ldir = ds.light_dir[light_id]
+    lprim = ds.light_prim[light_id]
+    ltwo = ds.light_twosided[light_id]
+    wr = _world_radius(ds)
+
+    n = p.shape[0]
+    zero = jnp.zeros(n)
+
+    # --- point / spot ---
+    to_l = lpos - p
+    d2 = jnp.maximum(dot(to_l, to_l), 1e-12)
+    dist_p = jnp.sqrt(d2)
+    wi_p = to_l / dist_p[..., None]
+    li_point = lL / d2[..., None]
+    # spot falloff (lights/spot.cpp Falloff)
+    cos_axis = dot(-wi_p, ldir)
+    ct = ds.light_cos_total[light_id]
+    cf = ds.light_cos_falloff[light_id]
+    delta = jnp.clip((cos_axis - ct) / jnp.maximum(cf - ct, 1e-6), 0.0, 1.0)
+    falloff = delta * delta * (delta * delta)
+    li_spot = li_point * jnp.where(cos_axis < ct, 0.0,
+                                   jnp.where(cos_axis > cf, 1.0, falloff))[..., None]
+
+    # --- distant (lights/distant.cpp Sample_Li) ---
+    wi_d = ldir
+    dist_d = jnp.full(n, 2.0) * wr
+
+    # --- infinite, constant radiance: uniform sphere direction ---
+    wi_inf = uniform_sample_sphere(u1, u2)
+    pdf_inf = jnp.full(n, 1.0 / (4.0 * jnp.pi))
+    dist_inf = jnp.full(n, 2.0) * wr
+
+    # --- area: triangle or sphere prim ---
+    is_tri_prim = lprim < st.n_tris
+    tid = jnp.clip(lprim, 0, max(st.n_tris - 1, 0))
+    p0, p1, p2, tn, area = _gather_tri_light_geo(ds, tid)
+    b0, b1 = uniform_sample_triangle(u1, u2)
+    p_l = p0 * b0[..., None] + p1 * b1[..., None] + p2 * (1.0 - b0 - b1)[..., None]
+    to_pl = p_l - p
+    d2_l = jnp.maximum(dot(to_pl, to_pl), 1e-12)
+    dist_tri = jnp.sqrt(d2_l)
+    wi_tri = to_pl / dist_tri[..., None]
+    cos_l = dot(tn, -wi_tri)
+    facing = jnp.where(ltwo, jnp.abs(cos_l) > 1e-7, cos_l > 1e-7)
+    pdf_tri = d2_l / jnp.maximum(jnp.abs(cos_l) * area, 1e-12)
+    li_tri = jnp.where(facing[..., None], lL, 0.0)
+
+    sid = jnp.clip(lprim - st.n_tris, 0, max(st.n_spheres - 1, 0))
+    sc, sr = _sphere_center_radius(ds, sid)
+    to_c = sc - p
+    dc2 = jnp.maximum(dot(to_c, to_c), 1e-12)
+    dc = jnp.sqrt(dc2)
+    inside = dc2 <= sr * sr * 1.0001
+    # cone sampling toward the sphere (sphere.cpp:232 Sample(ref,u))
+    sin2_max = jnp.clip(sr * sr / dc2, 0.0, 1.0)
+    cos_max = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_max))
+    w_axis = to_c / dc[..., None]
+    local = uniform_sample_cone(u1, u2, cos_max)
+    t_ax, b_ax = coordinate_system(w_axis)
+    wi_sph = to_world(t_ax, b_ax, w_axis, local)
+    pdf_sph = uniform_cone_pdf(cos_max)
+    # distance to the sampled sphere point along wi (law of cosines)
+    cos_alpha = local[..., 2]
+    ds_ = dc * cos_alpha - jnp.sqrt(jnp.maximum(
+        sr * sr - dc2 * (1.0 - cos_alpha * cos_alpha), 0.0))
+    li_sph = lL
+    # inside the sphere: fall back to uniform sphere-area sampling is rare;
+    # emit zero (the reference handles it via area sampling)
+    li_sph = jnp.where(inside[..., None], 0.0, li_sph)
+    pdf_sph = jnp.where(inside, 1.0, pdf_sph)
+
+    wi_area = jnp.where(is_tri_prim[..., None], wi_tri, wi_sph)
+    li_area = jnp.where(is_tri_prim[..., None], li_tri, li_sph)
+    pdf_area = jnp.where(is_tri_prim, pdf_tri, pdf_sph)
+    dist_area = jnp.where(is_tri_prim, dist_tri, ds_)
+
+    # --- select by light type ---
+    wi = wi_p
+    li = li_point
+    pdf = jnp.ones(n)
+    dist = dist_p
+    delta_flag = jnp.ones(n, bool)
+    for tid_, w_, l_, pf_, dd_, df_ in (
+        (LIGHT_SPOT, wi_p, li_spot, jnp.ones(n), dist_p, True),
+        (LIGHT_DISTANT, wi_d, lL, jnp.ones(n), dist_d, True),
+        (LIGHT_INFINITE, wi_inf, lL, pdf_inf, dist_inf, False),
+        (LIGHT_AREA, wi_area, li_area, pdf_area, dist_area, False),
+    ):
+        sel = lt == tid_
+        wi = jnp.where(sel[..., None], w_, wi)
+        li = jnp.where(sel[..., None], l_, li)
+        pdf = jnp.where(sel, pf_, pdf)
+        dist = jnp.where(sel, dd_, dist)
+        delta_flag = jnp.where(sel, df_, delta_flag)
+
+    return LightSample(wi=wi, li=li, pdf=pdf, dist=dist, is_delta=delta_flag)
+
+
+def pdf_li(ds, st, p, wi, hit_prim, hit_t):
+    """Light-sampling pdf for direction wi that hit prim `hit_prim` at
+    distance hit_t (used for the BSDF half of MIS)."""
+    is_tri = hit_prim < st.n_tris
+    tid = jnp.clip(hit_prim, 0, max(st.n_tris - 1, 0))
+    _, _, _, tn, area = _gather_tri_light_geo(ds, tid)
+    cos_l = jnp.abs(dot(tn, -wi))
+    pdf_tri = (hit_t * hit_t) / jnp.maximum(cos_l * area, 1e-12)
+
+    sid = jnp.clip(hit_prim - st.n_tris, 0, max(st.n_spheres - 1, 0))
+    sc, sr = _sphere_center_radius(ds, sid)
+    to_c = sc - p
+    dc2 = jnp.maximum(dot(to_c, to_c), 1e-12)
+    sin2_max = jnp.clip(sr * sr / dc2, 0.0, 1.0)
+    cos_max = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_max))
+    pdf_sph = uniform_cone_pdf(cos_max)
+
+    return jnp.where(is_tri, pdf_tri, pdf_sph)
+
+
+def pdf_li_infinite(n):
+    return jnp.full(n, 1.0 / (4.0 * jnp.pi))
+
+
+def emitted_radiance(ds, st, hit_prim, hit_light, wo_world, ns):
+    """Le of an emissive prim toward wo (DiffuseAreaLight::L, diffuse.cpp:49):
+    L if the outgoing direction is on the emitting side (or twosided)."""
+    lid = jnp.clip(hit_light, 0, max(st.n_lights - 1, 0))
+    L = ds.light_L[lid]
+    two = ds.light_twosided[lid]
+    emit = (hit_light >= 0) & (two | (dot(ns, wo_world) > 0.0))
+    return jnp.where(emit[..., None], L, 0.0)

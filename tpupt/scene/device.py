@@ -38,7 +38,10 @@ class DeviceScene(NamedTuple):
     sph_mat: jnp.ndarray
     sph_light: jnp.ndarray
     sph_reverse: jnp.ndarray
-    # bvh
+    # wide BVH (packed rows — the hot traversal path)
+    wide_nodes: jnp.ndarray  # (Nw, 64) f32
+    prim_rows: jnp.ndarray   # (P, 16) f32: tri verts or sphere w2o+params
+    # binary bvh (reference/fallback path)
     bvh_lo: jnp.ndarray
     bvh_hi: jnp.ndarray
     bvh_right: jnp.ndarray
@@ -84,6 +87,41 @@ class SceneStatics(NamedTuple):
     n_lights: int
     max_leaf: int
     n_nodes: int
+    n_wide_nodes: int
+
+
+def pack_prim_rows(scene: FlatScene, prim_ids: np.ndarray) -> np.ndarray:
+    """One 32-float row per prim IN BVH-LEAF ORDER (prim_ids permutation),
+    so the traversal loop needs exactly one row gather per prim test and
+    per-leaf prim loads are contiguous. Layout:
+      floats 0-8  : triangle p0 p1 p2        (triangles)
+      floats 0-11 : w2o upper 3x4            (spheres)
+      slot 12/13/14/15 : radius zmin zmax phimax (spheres)
+      slot 16 (i32): global prim id (bitcast)    [both]
+      slot 17 (i32): 1 = triangle, 0 = sphere    [both]
+      rest pad."""
+    t, s = scene.triangles, scene.spheres
+    prim_ids = np.asarray(prim_ids, np.int64)
+    n = len(prim_ids)
+    rows = np.zeros((max(n, 1), 32), np.float32)
+    iview = rows.view(np.int32)
+    tri_mask = prim_ids < t.count
+    tid = prim_ids[tri_mask]
+    if tid.size:
+        rows[tri_mask, 0:3] = t.p0[tid]
+        rows[tri_mask, 3:6] = t.p1[tid]
+        rows[tri_mask, 6:9] = t.p2[tid]
+    sph_mask = ~tri_mask
+    sid = prim_ids[sph_mask] - t.count
+    if sid.size:
+        rows[sph_mask, 0:12] = s.w2o[sid][:, :3, :].reshape(len(sid), 12)
+        rows[sph_mask, 12] = s.radius[sid]
+        rows[sph_mask, 13] = s.zmin[sid]
+        rows[sph_mask, 14] = s.zmax[sid]
+        rows[sph_mask, 15] = s.phimax[sid]
+    iview[:n, 16] = prim_ids.astype(np.int32)
+    iview[:n, 17] = tri_mask.astype(np.int32)
+    return rows
 
 
 def _pad1(a: np.ndarray, fill=0):
@@ -109,6 +147,11 @@ def upload(scene: FlatScene, bvh: BVHArrays = None,
     t, s, m, lt = scene.triangles, scene.spheres, scene.materials, scene.lights
     wlo, whi = scene.world_bounds()
 
+    from tpupt.accel.bvh import collapse_to_wide
+
+    wide_nodes, _ = collapse_to_wide(bvh)
+    prim_rows = pack_prim_rows(scene, bvh.prim_ids)
+
     n_lights = lt.count
     if light_strategy == "power" and n_lights > 0:
         power = np.maximum(lt.L.sum(-1), 1e-12)
@@ -132,6 +175,8 @@ def upload(scene: FlatScene, bvh: BVHArrays = None,
         sph_phimax=jnp.asarray(_pad1(s.phimax, 2 * np.pi)),
         sph_mat=jnp.asarray(_pad1(s.mat)), sph_light=jnp.asarray(_pad1(s.light, -1)),
         sph_reverse=jnp.asarray(_pad1(s.reverse)),
+        wide_nodes=jnp.asarray(wide_nodes),
+        prim_rows=jnp.asarray(prim_rows),
         bvh_lo=jnp.asarray(bvh.lo), bvh_hi=jnp.asarray(bvh.hi),
         bvh_right=jnp.asarray(bvh.right), bvh_first=jnp.asarray(bvh.first),
         bvh_count=jnp.asarray(bvh.count), bvh_axis=jnp.asarray(bvh.axis),
@@ -160,5 +205,6 @@ def upload(scene: FlatScene, bvh: BVHArrays = None,
         n_tris=t.count, n_spheres=s.count, n_lights=n_lights,
         max_leaf=int(bvh.count.max()) if bvh.n_nodes else 1,
         n_nodes=bvh.n_nodes,
+        n_wide_nodes=len(wide_nodes),
     )
     return ds, statics

@@ -486,13 +486,18 @@ def flatten(desc: SceneDescription, scene_dir: str = ".") -> FlatScene:
             continue
         P, N, uv, F = mesh
         t = rec.object_to_world
+        flip = rec.reverse_orientation ^ t.swaps_handedness()
+        if flip:
+            # Bake the orientation flip into the winding so the raw geometric
+            # normal IS the emission/shading side (the reference flips the
+            # interaction normal instead, shape.h reverseOrientation).
+            F = F[:, [0, 2, 1]]
         Pw = t.apply_point(P)
         p0, p1, p2 = Pw[F[:, 0]], Pw[F[:, 1]], Pw[F[:, 2]]
         gn = np.cross(p1 - p0, p2 - p0)
         gl = np.linalg.norm(gn, axis=-1, keepdims=True)
         degenerate = gl[:, 0] < 1e-20
         gn = gn / np.where(gl > 0, gl, 1.0)
-        flip = rec.reverse_orientation ^ t.swaps_handedness()
         if N is not None:
             Nw = t.apply_normal(N)
             nl = np.linalg.norm(Nw, axis=-1, keepdims=True)
@@ -501,8 +506,7 @@ def flatten(desc: SceneDescription, scene_dir: str = ".") -> FlatScene:
                 Nw = -Nw
             n0, n1, n2 = Nw[F[:, 0]], Nw[F[:, 1]], Nw[F[:, 2]]
         else:
-            sgn = -1.0 if flip else 1.0
-            n0 = n1 = n2 = sgn * gn
+            n0 = n1 = n2 = gn
         if uv is not None:
             uv0, uv1, uv2 = uv[F[:, 0]], uv[F[:, 1]], uv[F[:, 2]]
         else:
@@ -629,6 +633,32 @@ def flatten(desc: SceneDescription, scene_dir: str = ".") -> FlatScene:
 
     return FlatScene(tris, spheres, mats.finalize(), lights, camera, film,
                      sampler, integ, desc.accelerator_name, desc.accelerator_params)
+
+
+def with_resolution(scene: FlatScene, xres: int, yres: int) -> FlatScene:
+    """Return a copy of the scene at a different film resolution with the
+    raster-to-camera matrix recomputed (screen window from the new aspect)."""
+    import dataclasses
+
+    film = dataclasses.replace(scene.film, xres=xres, yres=yres)
+    cam = scene.camera
+    aspect = xres / yres
+    if aspect > 1.0:
+        x0, x1, y0, y1 = -aspect, aspect, -1.0, 1.0
+    else:
+        x0, x1, y0, y1 = -1.0, 1.0, -1.0 / aspect, 1.0 / aspect
+    screen_to_raster = (
+        Transform.scale([xres, yres, 1.0])
+        * Transform.scale([1.0 / (x1 - x0), 1.0 / (y0 - y1), 1.0])
+        * Transform.translate([-x0, -y1, 0.0])
+    )
+    if cam.type == CAM_ORTHOGRAPHIC:
+        cam_to_screen = Transform.orthographic(0.0, 1.0)
+    else:
+        cam_to_screen = Transform.perspective(cam.fov, 1e-2, 1000.0)
+    r2c = (cam_to_screen.inverse() * screen_to_raster.inverse()).m.astype(np.float32)
+    camera = dataclasses.replace(cam, raster_to_camera=r2c)
+    return dataclasses.replace(scene, film=film, camera=camera)
 
 
 def _empty_tri_field(k: str):

@@ -58,11 +58,11 @@ def intersect_sphere(o_w, d_w, tmax, w2o, radius, zmin, zmax, phimax):
     return hit, t, p
 
 
-def sphere_normal_uv(p_obj, o2w, radius, zmin, zmax, phimax, reverse):
+def sphere_normal_uv(p_obj, o2w, radius, zmin, zmax, phimax):
     """World-space shading normal and (u, v) at an object-space hit point
     (sphere.cpp:175-230)."""
     # normal: object-space radial direction through inverse-transpose
-    n_obj = p_obj / radius
+    n_obj = p_obj / radius[..., None]
     # inverse transpose of o2w's upper-left is w2o^T applied to normal; we only
     # have o2w here, so use its inverse-transpose columns via solve-free route:
     # caller passes o2w; normals transform with the inverse transpose, which

@@ -14,6 +14,12 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def _sel_axis(p, k):
+    """p[..., k] via selects (k in {0,1,2}) — TPU-friendly: per-lane
+    take_along_axis lowers to slow gathers, two selects do not."""
+    return jnp.where(k == 0, p[..., 0], jnp.where(k == 1, p[..., 1], p[..., 2]))
+
+
 def ray_permutation(d: jnp.ndarray):
     """Per-ray permutation + shear constants (triangle.cpp:205-221).
     Returns (kx, ky, kz, sx, sy, sz) each (...,)."""
@@ -21,13 +27,12 @@ def ray_permutation(d: jnp.ndarray):
     kz = jnp.argmax(ad, axis=-1)
     kx = (kz + 1) % 3
     ky = (kx + 1) % 3
-    dz = jnp.take_along_axis(d, kz[..., None], -1)[..., 0]
+    dz = _sel_axis(d, kz)
     swap = dz < 0.0
     kx2 = jnp.where(swap, ky, kx)
     ky2 = jnp.where(swap, kx, ky)
-    dx = jnp.take_along_axis(d, kx2[..., None], -1)[..., 0]
-    dy = jnp.take_along_axis(d, ky2[..., None], -1)[..., 0]
-    dz = jnp.take_along_axis(d, kz[..., None], -1)[..., 0]
+    dx = _sel_axis(d, kx2)
+    dy = _sel_axis(d, ky2)
     sx = dx / dz
     sy = dy / dz
     sz = 1.0 / dz
@@ -35,10 +40,7 @@ def ray_permutation(d: jnp.ndarray):
 
 
 def _permute(p, kx, ky, kz):
-    px = jnp.take_along_axis(p, kx[..., None], -1)[..., 0]
-    py = jnp.take_along_axis(p, ky[..., None], -1)[..., 0]
-    pz = jnp.take_along_axis(p, kz[..., None], -1)[..., 0]
-    return px, py, pz
+    return _sel_axis(p, kx), _sel_axis(p, ky), _sel_axis(p, kz)
 
 
 def intersect_triangle(o, perm, p0, p1, p2, tmax):

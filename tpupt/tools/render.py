@@ -1,0 +1,133 @@
+"""CLI renderer (counterpart of src/main/pbrt.cpp).
+
+    python -m tpupt.tools.render scene.pbrt [--outfile out.png] [--spp N]
+        [--resolution WxH] [--quick] [--cpu] [--quiet] [--stats]
+        [--cropwindow x0 x1 y0 y1] [--writestats]
+
+Flags mirror the reference CLI (pbrt.cpp:47-71): --quick quarters resolution
+and drops spp to 1; --cropwindow limits the rendered region; --writestats
+dumps the per-pixel telemetry matrices next to the image (Film::
+WriteGeneralStats parity, film.cpp:170)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+import warnings
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="tpupt renderer")
+    ap.add_argument("scene")
+    ap.add_argument("--outfile", "-o", default=None)
+    ap.add_argument("--spp", type=int, default=None)
+    ap.add_argument("--resolution", default=None, help="WxH override")
+    ap.add_argument("--quick", action="store_true",
+                    help="1/4 resolution, 1 spp (pbrt --quick)")
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument("--quiet", action="store_true")
+    ap.add_argument("--stats", action="store_true",
+                    help="print render statistics (pbrt PrintStats)")
+    ap.add_argument("--writestats", action="store_true",
+                    help="write per-pixel telemetry matrices (thesis "
+                         "WriteGeneralStats parity)")
+    ap.add_argument("--cropwindow", type=float, nargs=4, default=None,
+                    metavar=("X0", "X1", "Y0", "Y1"))
+    ap.add_argument("--accelerator", default=None,
+                    help="override the scene accelerator (bvh/kdtree/...)")
+    args = ap.parse_args(argv)
+
+    if args.quiet:
+        warnings.simplefilter("ignore")
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from tpupt.scene.loader import parse_file
+    from tpupt.scene.flatten import flatten, with_resolution
+    from tpupt.integrators.path import Renderer
+    from tpupt.utils import imageio
+
+    t0 = time.time()
+    desc = parse_file(args.scene)
+    scene = flatten(desc, os.path.dirname(os.path.abspath(args.scene)))
+    if args.accelerator:
+        scene.accelerator_name = args.accelerator
+    if args.resolution:
+        w, h = (int(x) for x in args.resolution.lower().split("x"))
+        scene = with_resolution(scene, w, h)
+    if args.quick:
+        scene = with_resolution(scene, max(scene.film.xres // 4, 16),
+                                max(scene.film.yres // 4, 16))
+        scene.sampler.spp = 1
+    if args.cropwindow:
+        import dataclasses
+
+        scene = dataclasses.replace(
+            scene, film=dataclasses.replace(scene.film,
+                                            crop=tuple(args.cropwindow)))
+    if not args.quiet:
+        print(f"parsed+flattened in {time.time() - t0:.1f}s: "
+              f"{scene.triangles.count} tris, {scene.spheres.count} spheres, "
+              f"{scene.lights.count} lights, {scene.materials.count} materials")
+
+    t0 = time.time()
+    r = Renderer(scene)
+    build_s = time.time() - t0
+    if not args.quiet:
+        print(f"BVH + pipeline built in {build_s:.1f}s "
+              f"({r.st.n_nodes} nodes)")
+
+    spp = args.spp or scene.sampler.spp
+    t0 = time.time()
+    film = r.render(spp=spp, verbose=not args.quiet)
+    import jax.numpy as jnp
+
+    jax.block_until_ready(film.rgb)
+    render_s = time.time() - t0
+
+    img = r.image(film)
+    out = args.outfile or os.path.splitext(
+        os.path.basename(scene.film.filename))[0] + ".png"
+    ext = os.path.splitext(out)[1].lower()
+    if ext == ".png":
+        imageio.write_png(out, img)
+    elif ext == ".exr":
+        imageio.write_exr(out, img)
+    elif ext == ".pfm":
+        imageio.write_pfm(out, img)
+    else:
+        imageio.write_png(out + ".png", img)
+        out += ".png"
+
+    n_rays = scene.film.xres * scene.film.yres * spp
+    if not args.quiet:
+        print(f"rendered {spp} spp in {render_s:.1f}s "
+              f"({n_rays / max(render_s, 1e-9) / 1e6:.2f} M camera rays/s) -> {out}")
+    if args.stats:
+        aov = r.aovs(film)
+        print("Statistics:")
+        print(f"  camera rays                     {n_rays}")
+        for k, v in aov.items():
+            tot = float(v.sum()) * spp
+            print(f"  {k:30s}  mean/pixel {float(v.mean()):10.2f}")
+        print(f"  Timings/Buildtime               {build_s:.2f} s")
+        print(f"  Timings/Rendertime              {render_s:.2f} s")
+    if args.writestats:
+        aov = r.aovs(film)
+        base = os.path.splitext(out)[0]
+        import numpy as np
+
+        for k, v in aov.items():
+            np.savetxt(f"{base}.{k}.txt", v, fmt="%.2f")
+        if not args.quiet:
+            print(f"wrote per-pixel stat matrices to {base}.*.txt")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
