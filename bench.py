@@ -1,0 +1,65 @@
+"""Driver benchmark: killeroo-simple (the reference's headline scene,
+BASELINE.md) rendered by the wavefront path integrator on the default
+backend. Prints ONE JSON line.
+
+Metric: camera rays (full depth-5 paths incl. NEE shadow rays) per second,
+steady-state (post-compile). vs_baseline compares against the reference
+CPU binary's ~0.49 M camera rays/s on the same scene (BASELINE.md: 700x700,
+8 spp halton in 8 s on the thesis workstation)."""
+
+import json
+import os
+import sys
+import time
+import warnings
+
+warnings.simplefilter("ignore")
+
+REFERENCE_RAYS_PER_S = 0.49e6
+SCENE = "/root/reference/scenes/killeroo-simple"
+RES = 704  # 700 rounded to the wavefront batch granularity
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tpupt.scene.loader import parse_file
+    from tpupt.scene.flatten import flatten, with_resolution
+    from tpupt.integrators.path import Renderer
+    from tpupt.film.film import new_film
+
+    scene = with_resolution(
+        flatten(parse_file(SCENE), os.path.dirname(SCENE)), RES, RES)
+    r = Renderer(scene)
+    film = new_film(RES, RES)
+
+    # warmup / compile
+    film = r._step(film, jnp.uint32(0), r.px[: r.batch], r.py[: r.batch],
+                   r.valid[: r.batch])
+    jax.block_until_ready(film.rgb)
+
+    # steady state: one full 8-spp-equivalent pass over all batches
+    n_rays = 0
+    t0 = time.time()
+    spp = 2
+    for s in range(spp):
+        for k in range(r.n_batches):
+            sl = slice(k * r.batch, (k + 1) * r.batch)
+            film = r._step(film, jnp.uint32(s + 1), r.px[sl], r.py[sl],
+                           r.valid[sl])
+        n_rays += RES * RES
+    jax.block_until_ready(film.rgb)
+    dt = time.time() - t0
+    rays_per_s = n_rays / dt
+
+    print(json.dumps({
+        "metric": "killeroo_camera_rays_per_s_depth5",
+        "value": round(rays_per_s, 1),
+        "unit": "rays/s/chip",
+        "vs_baseline": round(rays_per_s / REFERENCE_RAYS_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -100,6 +100,31 @@ def scrambled_radical_inverse(dim: int, index: jnp.ndarray, perm: jnp.ndarray) -
     return jnp.minimum(rev.astype(jnp.float32) * inv_base_n + tail, 1.0 - 1e-7)
 
 
+def scrambled_radical_inverse_affine(dim: int, index: jnp.ndarray,
+                                     a: int, c: int) -> jnp.ndarray:
+    """Scrambled radical inverse with an AFFINE digit permutation
+    perm(d) = (a*d + c) mod b (valid for prime b with 1 <= a < b).
+    Gather-free — the table-permutation variant costs one tiny-table gather
+    per digit, which TPUs execute catastrophically slowly."""
+    base = PRIMES[dim]
+    a = int(a) % base or 1
+    c = int(c) % base
+    index = index.astype(jnp.uint32)
+    inv_base = 1.0 / base
+    rev = jnp.zeros_like(index)
+    inv_base_n = jnp.ones(index.shape, jnp.float32)
+    for _ in range(_digits_for_base(base)):
+        active = index > 0
+        nxt = index // base
+        digit = index - nxt * base
+        pdigit = (digit * a + c) % base
+        rev = jnp.where(active, rev * base + pdigit, rev)
+        inv_base_n = jnp.where(active, inv_base_n * inv_base, inv_base_n)
+        index = nxt
+    tail = inv_base_n * float(c) / (base - 1.0)
+    return jnp.minimum(rev.astype(jnp.float32) * inv_base_n + tail, 1.0 - 1e-7)
+
+
 def compute_radical_inverse_permutations(seed: int = 0) -> np.ndarray:
     """Per-dimension random digit permutations packed into one flat table
     (lowdiscrepancy.cpp ComputeRadicalInversePermutations). Returns

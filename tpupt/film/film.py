@@ -91,9 +91,11 @@ def filter_eval(ftype: int, params: Tuple[float, ...], radius: Tuple[float, floa
     return jnp.where(inside, w, 0.0)
 
 
-def add_samples(film: Film, cfg: FilmConfig, p_film, L, aov=None) -> Film:
+def add_samples(film: Film, cfg: FilmConfig, p_film, L, aov=None,
+                mask=None) -> Film:
     """FilmTile::AddSample counterpart (film.h:130): p_film (N,2) continuous
-    raster coords; L (N,3). Scatters into the filter footprint."""
+    raster coords; L (N,3). Scatters into the filter footprint. `mask`
+    (N,) bool zeroes padded lanes (fixed-size wavefront batches)."""
     xres, yres = cfg.xres, cfg.yres
     rx, ry = cfg.filter_radius
     # discrete taps covering the footprint
@@ -117,6 +119,8 @@ def add_samples(film: Film, cfg: FilmConfig, p_film, L, aov=None) -> Film:
             ix = px.astype(jnp.int32)
             iy = py.astype(jnp.int32)
             valid = (ix >= 0) & (ix < xres) & (iy >= 0) & (iy < yres)
+            if mask is not None:
+                valid = valid & mask
             w = jnp.where(valid, w, 0.0)
             pid = jnp.clip(iy, 0, yres - 1) * xres + jnp.clip(ix, 0, xres - 1)
             rgb = rgb.at[pid].add(w[:, None] * L)

@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpupt.accel.traverse import intersect_p, intersect_wide as intersect
+from tpupt.accel import traverse as trav
+from tpupt.ops import traverse_pallas
 from tpupt.cameras.perspective import generate_rays
 from tpupt.core.sampling import power_heuristic
 from tpupt.core.vecmath import absdot, cross, dot, normalize, offset_ray_origin
@@ -35,6 +36,7 @@ from tpupt.scene.flatten import LIGHT_INFINITE, FlatScene
 from tpupt.shapes.sphere import sphere_normal_uv, transform_normal
 
 _RR_START = 3  # bounces before RR kicks in (path.cpp:193)
+BATCH_RAYS = 131072  # fixed wavefront batch (128 pallas packets)
 
 
 class ShadingPoint(NamedTuple):
@@ -47,8 +49,11 @@ class ShadingPoint(NamedTuple):
 
 
 def shading_point(ds: DeviceScene, st: SceneStatics, hit, o, d) -> ShadingPoint:
-    """SurfaceInteraction assembly (core/interaction.cpp:94 analog)."""
-    p = o + hit.t[..., None] * d
+    """SurfaceInteraction assembly (core/interaction.cpp:94 analog).
+    Miss lanes get a finite dummy position (inf primals poison reverse-mode
+    even under masks — NaN partials survive as NaN*0)."""
+    t_finite = jnp.where(hit.valid, hit.t, 1.0)
+    p = o + t_finite[..., None] * d
     prim = jnp.maximum(hit.prim, 0)
     is_tri = prim < st.n_tris
 
@@ -97,9 +102,46 @@ def _infinite_light_le(ds, st):
     return jnp.sum(jnp.where(is_inf[:, None], ds.light_L, 0.0), axis=0)
 
 
+def pick_traversal(st: SceneStatics, force: str = None):
+    """Choose the intersection backend: the pallas packet kernel when the
+    scene tables fit in VMEM (and we're on TPU), else the XLA wide-BVH path."""
+    use_pallas = traverse_pallas.vmem_budget_ok(
+        st.n_wide_nodes, st.n_tris + st.n_spheres)
+    if force == "pallas":
+        use_pallas = True
+    elif force == "xla":
+        use_pallas = False
+    elif jax.default_backend() not in ("tpu", "axon"):
+        use_pallas = False
+    if use_pallas:
+        isect = traverse_pallas.intersect_packets
+
+        def isect_p(ds, st, o, d, tmax):
+            hit, stats = traverse_pallas.intersect_packets(
+                ds, st, o, d, tmax, any_hit=True)
+            return hit.valid, stats
+
+        return isect, isect_p
+    return trav.intersect_wide, trav.intersect_p
+
+
 def path_li(ds: DeviceScene, st: SceneStatics, sampler: WavefrontSampler,
             max_depth: int, rr_threshold: float,
-            px, py, sample_idx, o, d):
+            px, py, sample_idx, o, d, isect=None, isect_p=None):
+    if isect is None:
+        isect, isect_p = pick_traversal(st)
+
+    def intersect(*a, **k):
+        # Traversal is non-differentiable (integer hit ids; while_loop /
+        # pallas have no reverse rule). Detached-geometry gradients: material
+        # and light cotangents flow through the shading chain only
+        # (SURVEY.md §7 step 7 — detached-sampling estimator).
+        hit, stats = isect(*a, **k)
+        return jax.tree.map(jax.lax.stop_gradient, hit), stats
+
+    def intersect_p(*a, **k):
+        occ, stats = isect_p(*a, **k)
+        return jax.lax.stop_gradient(occ), stats
     """Trace one batch of camera rays to completion.
 
     Vertex-count semantics match path.cpp: the bounce loop visits maxDepth
@@ -167,7 +209,11 @@ def path_li(ds: DeviceScene, st: SceneStatics, sampler: WavefrontSampler,
         if st.n_lights > 0:
             le = emitted_radiance(ds, st, hit.prim, sp.light, wo, sp.ns)
             le = jnp.where((alive & hit.valid)[..., None], le, 0.0)
-            lp = pdf_li(ds, st, s.prev_p, d, jnp.maximum(hit.prim, 0), hit.t)
+            # clamp inf miss-t BEFORE any differentiable expression — inf
+            # primals make NaN partials that survive stop_gradient as NaN*0
+            t_safe = jnp.where(hit.valid, hit.t, 1.0)
+            lp = pdf_li(ds, st, s.prev_p, d, jnp.maximum(hit.prim, 0), t_safe)
+            lp = jnp.where(hit.valid, lp, 0.0)
             lid0 = jnp.clip(sp.light, 0, max(st.n_lights - 1, 0))
             pmf0 = ds.light_pdf[lid0]
             w_bsdf = power_heuristic(1.0, s.prev_pdf, 1.0, lp * pmf0)
@@ -294,14 +340,35 @@ class Renderer:
         cx0, cx1, cy0, cy1 = self.cfg.crop
         mask = ((px >= cx0 * xres) & (px < max(cx1 * xres, cx0 * xres + 1))
                 & (py >= cy0 * yres) & (py < max(cy1 * yres, cy0 * yres + 1)))
-        self.px = jnp.asarray(px.ravel()[mask.ravel()])
-        self.py = jnp.asarray(py.ravel()[mask.ravel()])
+        pxf = px.ravel()[mask.ravel()]
+        pyf = py.ravel()[mask.ravel()]
+        # order pixels in 32x32 tiles so each 1024-ray packet of the pallas
+        # traversal is a coherent screen tile (cf. the reference's 16x16
+        # tiles, integrator.cpp:237) — film scatter is order-independent
+        tile_key = ((pyf // 32).astype(np.int64) * ((xres + 31) // 32)
+                    + pxf // 32) * 1024 + (pyf % 32) * 32 + pxf % 32
+        order = np.argsort(tile_key)
+        pxf, pyf = pxf[order], pyf[order]
+        # fixed-size wavefront batches: ONE compiled step serves every
+        # resolution / spp (the batch shape is the only traced shape)
+        self.batch = min(BATCH_RAYS, 1 << int(np.ceil(np.log2(max(len(pxf), 1024)))))
+        npad = (-len(pxf)) % self.batch
+        valid = np.ones(len(pxf) + npad, bool)
+        if npad:
+            valid[len(pxf):] = False
+            pxf = np.concatenate([pxf, np.zeros(npad, np.int32)])
+            pyf = np.concatenate([pyf, np.zeros(npad, np.int32)])
+        self.px = jnp.asarray(pxf)
+        self.py = jnp.asarray(pyf)
+        self.valid = jnp.asarray(valid)
+        self.n_batches = len(pxf) // self.batch
+        self._isect, self._isect_p = pick_traversal(self.st)
 
         max_depth = scene.integrator.max_depth
         rr_threshold = scene.integrator.rr_threshold
         ds, st, sampler = self.ds, self.st, self.sampler
 
-        def step(film, sample_idx, px_b, py_b):
+        def step(film, sample_idx, px_b, py_b, valid_b):
             jx, jy = sampler.camera_jitter(px_b, py_b, sample_idx)
             p_raster = jnp.stack([px_b.astype(jnp.float32) + jx,
                                   py_b.astype(jnp.float32) + jy], -1)
@@ -312,7 +379,8 @@ class Renderer:
                                  cam.lens_radius, cam.focal_distance,
                                  xres, yres)
             L, aov = path_li(ds, st, sampler, max_depth, rr_threshold,
-                             px_b, py_b, sample_idx, o, d)
+                             px_b, py_b, sample_idx, o, d,
+                             isect=self._isect, isect_p=self._isect_p)
             # NaN/inf clamping to black (integrator.cpp:300-321)
             bad = ~jnp.isfinite(L).all(-1) | (jnp.min(L, -1) < 0.0)
             L = jnp.where(bad[..., None], 0.0, L)
@@ -324,7 +392,8 @@ class Renderer:
                               self.cfg.max_sample_luminance / jnp.maximum(lum, 1e-9),
                               1.0)
                 L = L * s[..., None]
-            return filmmod.add_samples(film, self.cfg, p_raster, L, aov)
+            return filmmod.add_samples(film, self.cfg, p_raster, L, aov,
+                                       mask=valid_b)
 
         self._step = jax.jit(step, donate_argnums=(0,))
 
@@ -332,8 +401,12 @@ class Renderer:
         spp = spp or self.scene.sampler.spp
         film = film if film is not None else filmmod.new_film(
             self.cfg.xres, self.cfg.yres)
+        b = self.batch
         for s in range(spp):
-            film = self._step(film, jnp.uint32(s), self.px, self.py)
+            for k in range(self.n_batches):
+                sl = slice(k * b, (k + 1) * b)
+                film = self._step(film, jnp.uint32(s), self.px[sl],
+                                  self.py[sl], self.valid[sl])
             if verbose:
                 print(f"  sample {s + 1}/{spp}", flush=True)
         return film

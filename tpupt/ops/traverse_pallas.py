@@ -1,0 +1,312 @@
+"""Pallas TPU packet traversal — the hot intersection kernel.
+
+Design (the TPU answer to bvh.cpp:354's per-ray stack walk): per-lane
+divergent gathers are hostile to the VPU (HBM gathers cost ~constant per row,
+VMEM per-lane gathers are unsupported), so traversal is *packet-based*:
+
+  * a packet = 1024 coherent rays = one native (8, 128) VPU tile;
+  * the node stack is SCALAR, one per packet, in SMEM — node/prim fetches
+    are scalar loads broadcast to the vector unit, never gathers;
+  * each wide-BVH child is slab-tested against the whole packet in a few
+    (8, 128) VPU ops; a child is descended if ANY ray wants it (scalar
+    reduction), so packet coherence determines efficiency — callers sort
+    secondary rays to keep packets coherent;
+  * leaves test up to 8 prims, each broadcast from its packed 32-float row
+    (device.pack_prim_rows) against the whole packet.
+
+Whole-scene node + prim tables live in VMEM (guard: ~12 MB); larger scenes
+fall back to the XLA wide-BVH path in accel/traverse.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+PACK = 1024  # rays per packet: one (8, 128) register tile
+STACK = 64
+_BIG = 3.0e38  # plain float: jnp scalars would be captured consts in the kernel
+
+
+def _kernel(nodes_ref, prims_ref,
+            ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+            ix_ref, iy_ref, iz_ref,
+            kx_ref, ky_ref, kz_ref, sx_ref, sy_ref, sz_ref,
+            tmax_ref,
+            t_ref, gid_ref, b1_ref, b2_ref, visits_ref,
+            stack_ref,
+            *, max_leaf: int, any_hit: bool, has_spheres: bool):
+    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
+    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
+    ix, iy, iz = ix_ref[0], iy_ref[0], iz_ref[0]
+    kx, ky, kz = kx_ref[0], ky_ref[0], kz_ref[0]
+    sx, sy, sz = sx_ref[0], sy_ref[0], sz_ref[0]
+
+    t_ref[0] = tmax_ref[0]
+    gid_ref[0] = jnp.full((8, 128), -1, jnp.int32)
+    b1_ref[0] = jnp.zeros((8, 128), jnp.float32)
+    b2_ref[0] = jnp.zeros((8, 128), jnp.float32)
+    visits_ref[0] = jnp.zeros((8, 128), jnp.int32)
+    stack_ref[0] = 0
+
+    o_kx = jnp.where(kx == 0, ox, jnp.where(kx == 1, oy, oz))
+    o_ky = jnp.where(ky == 0, ox, jnp.where(ky == 1, oy, oz))
+    o_kz = jnp.where(kz == 0, ox, jnp.where(kz == 1, oy, oz))
+
+    def cond(sp):
+        return sp > 0
+
+    def body(sp):
+        raw = stack_ref[sp - 1]
+        sp = sp - 1
+        visits_ref[0] = visits_ref[0] + 1
+
+        def interior(sp):
+            node = raw
+            # static-unrolled 8 children; bounds are scalar loads broadcast
+            # against the packet tile
+            for c in range(8):
+                lo_x = nodes_ref[node, c, 0]
+                lo_y = nodes_ref[node, c, 1]
+                lo_z = nodes_ref[node, c, 2]
+                hi_x = nodes_ref[node, c, 3]
+                hi_y = nodes_ref[node, c, 4]
+                hi_z = nodes_ref[node, c, 5]
+                t1x = (lo_x - ox) * ix
+                t2x = (hi_x - ox) * ix
+                t1y = (lo_y - oy) * iy
+                t2y = (hi_y - oy) * iy
+                t1z = (lo_z - oz) * iz
+                t2z = (hi_z - oz) * iz
+                t_near = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
+                                                 jnp.minimum(t1y, t2y)),
+                                     jnp.minimum(t1z, t2z))
+                t_far = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
+                                                jnp.maximum(t1y, t2y)),
+                                    jnp.maximum(t1z, t2z)) * 1.0000004
+                hit = (t_near <= t_far) & (t_far > 0.0) & (t_near < t_ref[0])
+                any_c = jnp.any(hit)
+                # float-encoded meta: >0 interior id; <0 leaf count (first in
+                # col 7); 0 empty (empty boxes are inf/-inf, never hit)
+                m6 = nodes_ref[node, c, 6]
+                m7 = nodes_ref[node, c, 7]
+                meta = jnp.where(
+                    m6 > 0.0, m6.astype(jnp.int32),
+                    -((m7.astype(jnp.int32) << 6) + (-m6).astype(jnp.int32)) - 1)
+
+                @pl.when(any_c)
+                def _():
+                    stack_ref[sp] = meta
+
+                sp = sp + jnp.where(any_c, 1, 0)
+            return sp
+
+        def leaf(sp):
+            v = -raw - 1
+            first = v >> 6
+            cnt = v & 63
+            for k in range(max_leaf):
+                idx = first + k
+
+                def ps(col):
+                    return prims_ref[idx, col]
+
+                t_cur = t_ref[0]
+                p_gid = ps(18).astype(jnp.int32)
+                p_is_tri = ps(19) == 1.0
+                valid = k < cnt
+
+                # ---- watertight triangle test (triangle.cpp:188) ----
+                def permsel(col):
+                    px, py, pz = ps(col), ps(col + 1), ps(col + 2)
+                    ax_ = jnp.where(kx == 0, px, jnp.where(kx == 1, py, pz))
+                    ay_ = jnp.where(ky == 0, px, jnp.where(ky == 1, py, pz))
+                    az_ = jnp.where(kz == 0, px, jnp.where(kz == 1, py, pz))
+                    return ax_, ay_, az_
+
+                a0x, a0y, a0z = permsel(0)
+                a1x, a1y, a1z = permsel(3)
+                a2x, a2y, a2z = permsel(6)
+                a0x = a0x - o_kx
+                a0y = a0y - o_ky
+                a0z = a0z - o_kz
+                a1x = a1x - o_kx
+                a1y = a1y - o_ky
+                a1z = a1z - o_kz
+                a2x = a2x - o_kx
+                a2y = a2y - o_ky
+                a2z = a2z - o_kz
+                x0 = a0x - sx * a0z
+                y0 = a0y - sy * a0z
+                x1 = a1x - sx * a1z
+                y1 = a1y - sy * a1z
+                x2 = a2x - sx * a2z
+                y2 = a2y - sy * a2z
+                e0 = x1 * y2 - y1 * x2
+                e1 = x2 * y0 - y2 * x0
+                e2 = x0 * y1 - y0 * x1
+                same = ((e0 >= 0) & (e1 >= 0) & (e2 >= 0)) | \
+                       ((e0 <= 0) & (e1 <= 0) & (e2 <= 0))
+                det = e0 + e1 + e2
+                z0 = sz * a0z
+                z1 = sz * a1z
+                z2 = sz * a2z
+                t_scaled = e0 * z0 + e1 * z1 + e2 * z2
+                pos = det > 0
+                # (bool selects are unsupported in Mosaic -> logical form)
+                t_ok = (pos & (t_scaled > 1e-6 * det) & (t_scaled < t_cur * det)) \
+                    | (~pos & (t_scaled < 1e-6 * det) & (t_scaled > t_cur * det))
+                inv_det = 1.0 / jnp.where(det == 0, 1.0, det)
+                tt = t_scaled * inv_det
+                win_t = valid & p_is_tri & same & (det != 0) & t_ok & (tt > 1e-6) \
+                    & (tt < t_cur)
+                t_new = jnp.where(win_t, tt, t_cur)
+                gid_new = jnp.where(win_t, p_gid, gid_ref[0])
+                b1_new = jnp.where(win_t, e1 * inv_det, b1_ref[0])
+                b2_new = jnp.where(win_t, e2 * inv_det, b2_ref[0])
+
+                if has_spheres:
+                    # ---- sphere row: w2o 3x4 in cols 0-11 ----
+                    osx = ps(0) * ox + ps(1) * oy + ps(2) * oz + ps(3)
+                    osy = ps(4) * ox + ps(5) * oy + ps(6) * oz + ps(7)
+                    osz = ps(8) * ox + ps(9) * oy + ps(10) * oz + ps(11)
+                    dsx = ps(0) * dx + ps(1) * dy + ps(2) * dz
+                    dsy = ps(4) * dx + ps(5) * dy + ps(6) * dz
+                    dsz = ps(8) * dx + ps(9) * dy + ps(10) * dz
+                    radius = ps(12)
+                    zmin = ps(13)
+                    zmax = ps(14)
+                    a = dsx * dsx + dsy * dsy + dsz * dsz
+                    a_safe = jnp.where(a > 0, a, 1.0)
+                    t_ca = -(osx * dsx + osy * dsy + osz * dsz) / a_safe
+                    pcx = osx + t_ca * dsx
+                    pcy = osy + t_ca * dsy
+                    pcz = osz + t_ca * dsz
+                    d2 = pcx * pcx + pcy * pcy + pcz * pcz
+                    disc = (radius * radius - d2) * a
+                    sph_valid = (disc >= 0.0) & (a > 0.0)
+                    dts = jnp.sqrt(jnp.maximum(disc, 0.0)) / a_safe
+                    ts0 = t_ca - dts
+                    ts1 = t_ca + dts
+
+                    def sph_ok(ts):
+                        pz_ = osz + ts * dsz
+                        return ((ts > 1e-4) & (ts < t_cur)
+                                & (pz_ >= zmin) & (pz_ <= zmax))
+
+                    ok0 = sph_ok(ts0)
+                    ok1 = sph_ok(ts1)
+                    ts = jnp.where(ok0, ts0, ts1)
+                    win_s = valid & ~p_is_tri & sph_valid & (ok0 | ok1) \
+                        & (ts < t_new)
+                    t_new = jnp.where(win_s, ts, t_new)
+                    gid_new = jnp.where(win_s, p_gid, gid_new)
+
+                t_ref[0] = t_new
+                gid_ref[0] = gid_new
+                b1_ref[0] = b1_new
+                b2_ref[0] = b2_new
+
+            if any_hit:
+                sp = jnp.where(jnp.all(gid_ref[0] >= 0), 0, sp)
+            return sp
+
+        return jax.lax.cond(raw < 0, leaf, interior, sp)
+
+    jax.lax.while_loop(cond, body, jnp.int32(1))
+
+
+@functools.partial(jax.jit, static_argnames=("max_leaf", "any_hit",
+                                             "has_spheres", "interpret"))
+def _traverse(nodes_tiles, prim_rows,
+              ox, oy, oz, dx, dy, dz, ix, iy, iz,
+              kx, ky, kz, sx, sy, sz, tmax,
+              max_leaf: int, any_hit: bool, has_spheres: bool,
+              interpret: bool = False):
+    n_packets = ox.shape[0]
+    ray_spec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    shp = (n_packets, 8, 128)
+    out_shapes = [
+        jax.ShapeDtypeStruct(shp, jnp.float32),  # t
+        jax.ShapeDtypeStruct(shp, jnp.int32),    # gid
+        jax.ShapeDtypeStruct(shp, jnp.float32),  # b1
+        jax.ShapeDtypeStruct(shp, jnp.float32),  # b2
+        jax.ShapeDtypeStruct(shp, jnp.int32),    # visits
+    ]
+    kern = functools.partial(_kernel, max_leaf=max_leaf,
+                             any_hit=any_hit, has_spheres=has_spheres)
+    return pl.pallas_call(
+        kern,
+        grid=(n_packets,),
+        in_specs=[full, full] + [ray_spec] * 16,
+        out_specs=[ray_spec] * 5,
+        out_shape=out_shapes,
+        scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32)],
+        interpret=interpret,
+    )(nodes_tiles, prim_rows, ox, oy, oz, dx, dy, dz, ix, iy, iz,
+      kx, ky, kz, sx, sy, sz, tmax)
+
+
+def vmem_budget_ok(n_wide_nodes: int, n_prim_rows: int) -> bool:
+    bytes_needed = n_wide_nodes * 8 * 8 * 4 + n_prim_rows * 32 * 4
+    return bytes_needed < 12 * 1024 * 1024
+
+
+def intersect_packets(ds, st, o, d, tmax, any_hit=False, interpret=False):
+    """Drop-in packet-kernel version of accel.traverse.intersect_wide.
+    Pads the batch to a PACK multiple. Returns (Hit, TraversalStats)."""
+    from tpupt.accel.traverse import Hit, TraversalStats
+    from tpupt.core.vecmath import ray_inv_d
+    from tpupt.shapes.triangle import ray_permutation
+
+    n = o.shape[0]
+    n_pad = (-n) % PACK
+    if n_pad:
+        o = jnp.concatenate([o, jnp.ones((n_pad, 3))])
+        d = jnp.concatenate([d, jnp.ones((n_pad, 3))])
+        tmax = jnp.concatenate([tmax, jnp.zeros(n_pad)])
+    npk = o.shape[0] // PACK
+
+    kx, ky, kz, sx, sy, sz = ray_permutation(d)
+    inv_d = ray_inv_d(d)
+
+    def pk(x, dtype=jnp.float32):
+        return x.astype(dtype).reshape(npk, 8, 128)
+
+    t, gid, b1, b2, visits = _traverse(
+        ds.wide_nodes_tiled, ds.prim_rows_padded,
+        pk(o[:, 0]), pk(o[:, 1]), pk(o[:, 2]),
+        pk(d[:, 0]), pk(d[:, 1]), pk(d[:, 2]),
+        pk(inv_d[:, 0]), pk(inv_d[:, 1]), pk(inv_d[:, 2]),
+        pk(kx, jnp.int32), pk(ky, jnp.int32), pk(kz, jnp.int32),
+        pk(sx), pk(sy), pk(sz), pk(tmax),
+        max_leaf=st.max_leaf, any_hit=any_hit,
+        has_spheres=st.n_spheres > 0, interpret=interpret)
+
+    t = t.reshape(-1)[:n]
+    gid = gid.reshape(-1)[:n]
+    b1 = b1.reshape(-1)[:n]
+    b2 = b2.reshape(-1)[:n]
+    visits = visits.reshape(-1)[:n]
+
+    # sphere object-space hit point for shading (post-loop, cheap gather)
+    if st.n_spheres > 0:
+        sid = jnp.clip(gid - st.n_tris, 0, max(st.n_spheres - 1, 0))
+        w2o = ds.sph_w2o[sid]
+        o_obj = jnp.einsum("nij,nj->ni", w2o[:, :3, :3], o[:n]) + w2o[:, :3, 3]
+        d_obj = jnp.einsum("nij,nj->ni", w2o[:, :3, :3], d[:n])
+        p_obj = o_obj + t[:, None] * d_obj
+    else:
+        p_obj = jnp.zeros((n, 3))
+
+    hit = Hit(valid=gid >= 0, t=t, prim=gid, b1=b1, b2=b2, p_obj=p_obj)
+    stats = TraversalStats(visits, jnp.zeros_like(visits), jnp.zeros_like(visits))
+    return hit, stats

@@ -39,9 +39,10 @@ class WavefrontSampler:
         self.seed = seed
         if name == "halton":
             self.indexer = ld.HaltonPixelIndexer(xres, yres)
-            flat, offs = ld.compute_radical_inverse_permutations(seed)
-            self.perm_flat = jnp.asarray(flat)
-            self.perm_offs = offs  # host-side ints
+            rng = np.random.default_rng(seed)
+            # affine digit-permutation coefficients per dim (gather-free)
+            self.perm_a = [int(rng.integers(1, p)) for p in ld.PRIMES]
+            self.perm_c = [int(rng.integers(0, p)) for p in ld.PRIMES]
         elif name in ("sobol", "02sequence", "lowdiscrepancy", "maxmindist"):
             self.matrices = jnp.asarray(ld.sobol_matrices(64))
         elif name == "stratified":
@@ -73,10 +74,8 @@ class WavefrontSampler:
             if d == 0 or d == 1:
                 x, y = self.indexer.sample_dim01(idx)
                 return x if d == 0 else y
-            base = ld.PRIMES[d]
-            off = int(self.perm_offs[d])
-            perm = jnp.asarray(self.perm_flat[off : off + base])
-            return ld.scrambled_radical_inverse(d, idx, perm)
+            return ld.scrambled_radical_inverse_affine(
+                d, idx, self.perm_a[d], self.perm_c[d])
         if self.name in ("sobol", "02sequence", "lowdiscrepancy", "maxmindist"):
             d = min(d, 63)
             pix_seed = rng.uniform_u32(px, py, jnp.uint32(self.seed), jnp.uint32(d))

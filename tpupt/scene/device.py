@@ -40,7 +40,10 @@ class DeviceScene(NamedTuple):
     sph_reverse: jnp.ndarray
     # wide BVH (packed rows — the hot traversal path)
     wide_nodes: jnp.ndarray  # (Nw, 64) f32
-    prim_rows: jnp.ndarray   # (P, 16) f32: tri verts or sphere w2o+params
+    prim_rows: jnp.ndarray   # (P, 32) f32: tri verts or sphere w2o+params
+    # pallas packet-kernel variants of the same tables
+    wide_nodes_tiled: jnp.ndarray  # (Nw, 8, 8) f32
+    prim_rows_padded: jnp.ndarray  # (P+8, 32) f32
     # binary bvh (reference/fallback path)
     bvh_lo: jnp.ndarray
     bvh_hi: jnp.ndarray
@@ -121,6 +124,9 @@ def pack_prim_rows(scene: FlatScene, prim_ids: np.ndarray) -> np.ndarray:
         rows[sph_mask, 15] = s.phimax[sid]
     iview[:n, 16] = prim_ids.astype(np.int32)
     iview[:n, 17] = tri_mask.astype(np.int32)
+    # float-encoded copies for the pallas kernel (scalar bitcast unsupported)
+    rows[:n, 18] = prim_ids.astype(np.float32)
+    rows[:n, 19] = tri_mask.astype(np.float32)
     return rows
 
 
@@ -152,6 +158,24 @@ def upload(scene: FlatScene, bvh: BVHArrays = None,
     wide_nodes, _ = collapse_to_wide(bvh)
     prim_rows = pack_prim_rows(scene, bvh.prim_ids)
 
+    def _nodes_to_tiles(wn):
+        """(Nw,64) -> (Nw,8,8) tiles with FLOAT-encoded metadata (Mosaic
+        cannot bitcast scalars): col6 > 0 interior child id; col6 < 0 leaf
+        with count = -col6 and first = col7; col6 == 0 empty."""
+        out = np.zeros((wn.shape[0], 8, 8), np.float32)
+        meta = wn[:, 48:56].view(np.int32)
+        for c in range(8):
+            out[:, c, 0:6] = wn[:, c * 6 : c * 6 + 6]
+            m = meta[:, c]
+            is_int = m >= 0
+            is_empty = m == -2**31
+            v = np.where(is_int | is_empty, 0, -m - 1)
+            out[:, c, 6] = np.where(is_empty, 0.0,
+                                    np.where(is_int, m.astype(np.float32),
+                                             -(v & 63).astype(np.float32)))
+            out[:, c, 7] = (v >> 6).astype(np.float32)
+        return out
+
     n_lights = lt.count
     if light_strategy == "power" and n_lights > 0:
         power = np.maximum(lt.L.sum(-1), 1e-12)
@@ -177,6 +201,9 @@ def upload(scene: FlatScene, bvh: BVHArrays = None,
         sph_reverse=jnp.asarray(_pad1(s.reverse)),
         wide_nodes=jnp.asarray(wide_nodes),
         prim_rows=jnp.asarray(prim_rows),
+        wide_nodes_tiled=jnp.asarray(_nodes_to_tiles(wide_nodes)),
+        prim_rows_padded=jnp.asarray(
+            np.concatenate([prim_rows, np.zeros((8, 32), np.float32)])),
         bvh_lo=jnp.asarray(bvh.lo), bvh_hi=jnp.asarray(bvh.hi),
         bvh_right=jnp.asarray(bvh.right), bvh_first=jnp.asarray(bvh.first),
         bvh_count=jnp.asarray(bvh.count), bvh_axis=jnp.asarray(bvh.axis),
