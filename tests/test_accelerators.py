@@ -1,0 +1,150 @@
+"""Thesis accelerator-family tests: native builders, kDOP polytope areas
+(pattern: src/tests/kdop.cpp), kd/RBSP traversal agreement."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tpupt.native import (build_bvh_sah, build_kdtree, build_rbsp,
+                          polytope_cut_area)
+from tpupt.accel.kdbsp import build_alt_accel, get_directions, intersect_kdbsp
+from tpupt.accel.traverse import intersect_wide
+from tpupt.scene.device import upload
+from tpupt.scene.flatten import flatten
+from tpupt.scene.loader import parse_string
+from tpupt.scene.params import ParamSet
+from tpupt.cameras.perspective import generate_rays
+
+S2, S3 = np.sqrt(2), np.sqrt(3)
+
+
+# --------------------- kDOP polytope areas (kdop.cpp) ----------------------
+
+
+@pytest.mark.parametrize("dirs,ts,want", [
+    ([], [], 6.0),                                        # unit cube
+    ([[1, 0, 0]], [0.5], 4.0),                            # axis cut
+    ([[1 / S2, 1 / S2, 0]], [1 / S2], 3 + S2),            # edge-diagonal cut
+    ([[1 / S3, 1 / S3, 1 / S3]], [1 / S3], 1.5 + S3 / 2),  # corner cut
+    ([[1, 0, 0], [0, 1, 0]], [0.5, 0.5], 2.5),            # two cuts
+    ([[1, 0, 0]], [2.0], 6.0),                            # cut outside
+    ([[1, 0, 0]], [1.0], 6.0),                            # in-plane (CutFailing)
+    ([[-1, 0, 0]], [-0.5], 4.0),                          # negative direction
+])
+def test_polytope_cut_areas(dirs, ts, want):
+    got = polytope_cut_area([0, 0, 0], [1, 1, 1],
+                            np.array(dirs).reshape(-1, 3), np.array(ts))
+    assert abs(got - want) < 1e-9, (got, want)
+
+
+def test_direction_sets():
+    for n, count in ((3, 3), (7, 7), (9, 9), (13, 13)):
+        d = get_directions(n)
+        assert d.shape == (count, 3)
+        np.testing.assert_allclose(np.linalg.norm(d, axis=1), 1.0, atol=1e-12)
+
+
+# --------------------------- native builders -------------------------------
+
+
+def test_sweep_sah_bvh_structure():
+    rng = np.random.default_rng(0)
+    n = 500
+    c = rng.random((n, 3))
+    h = rng.random((n, 3)) * 0.05
+    b = build_bvh_sah(c - h, c + h)
+    covered = []
+    for i in range(b.n_nodes):
+        if b.count[i] > 0:
+            covered.extend(b.prim_ids[b.first[i]: b.first[i] + b.count[i]])
+    assert sorted(covered) == list(range(n))
+    stack = [0]
+    while stack:
+        i = stack.pop()
+        if b.count[i] == 0:
+            for ch in (i + 1, int(b.right[i])):
+                assert (b.lo[i] <= b.lo[ch] + 1e-6).all()
+                assert (b.hi[i] >= b.hi[ch] - 1e-6).all()
+            stack += [i + 1, int(b.right[i])]
+
+
+def test_kdtree_covers_all_prims():
+    rng = np.random.default_rng(1)
+    n = 300
+    c = rng.random((n, 3))
+    h = rng.random((n, 3)) * 0.05
+    out = build_kdtree(c - h, c + h)
+    assert set(out["prim_ids"]) == set(range(n))
+    assert (out["flags"] <= 3).all()
+    assert out["build_seconds"] < 5.0
+
+
+def test_rbsp_covers_all_prims():
+    rng = np.random.default_rng(2)
+    n = 100
+    c = rng.random((n, 3))
+    h = rng.random((n, 3)) * 0.05
+    lo, hi = c - h, c + h
+    dirs = get_directions(7)
+    corners = np.stack(np.meshgrid(*[[0, 1]] * 3, indexing="ij"), -1).reshape(8, 3)
+    pts = lo[:, None] + corners[None] * (hi - lo)[:, None]
+    proj = pts @ dirs.T
+    out = build_rbsp(dirs, proj.min(1), proj.max(1), lo.min(0), hi.max(0))
+    assert set(out["prim_ids"]) == set(range(n))
+    assert (out["flags"] <= len(dirs)).all()
+    # some non-axis splits should be chosen for random geometry
+    interior = out["flags"][out["flags"] < len(dirs)]
+    assert len(interior) > 0
+
+
+# ----------------------- traversal cross-validation ------------------------
+
+_SCENE = """
+LookAt 3 2 4  0 0 0  0 1 0
+Camera "perspective" "float fov" [50]
+Film "image" "integer xresolution" [40] "integer yresolution" [40]
+WorldBegin
+Material "matte"
+Shape "trianglemesh" "point P" [-2 -1 0  2 -1 0  2 1 0  -2 1 0] "integer indices" [0 1 2 2 3 0]
+Shape "sphere" "float radius" [0.6]
+AttributeBegin
+  Translate 0.8 0.5 1.2
+  Shape "sphere" "float radius" [0.3]
+AttributeEnd
+Shape "trianglemesh" "point P" [-3 -3 -1  3 -3 -1  3 3 -1  -3 3 -1] "integer indices" [0 1 2 2 3 0]
+WorldEnd
+"""
+
+
+def _camera_rays(sc, ds, res=40):
+    px, py = np.meshgrid(np.arange(res), np.arange(res), indexing="xy")
+    pr = jnp.asarray(np.stack([px.ravel() + 0.5, py.ravel() + 0.5], -1),
+                     jnp.float32)
+    return generate_rays(0, ds.raster_to_camera, ds.cam_to_world, pr,
+                         jnp.zeros((res * res, 2)), 0.0, 1e6)
+
+
+@pytest.mark.parametrize("accel,ndirs", [
+    ("kdtree", None), ("rbsp", 3), ("rbsp", 7), ("rbsp", 13),
+])
+def test_kdbsp_traversal_matches_bvh(accel, ndirs):
+    sc = flatten(parse_string(_SCENE))
+    ds, st = upload(sc)
+    ps = ParamSet()
+    if ndirs:
+        ps.add("integer nbDirections", [ndirs])
+    nodes, dirs, max_leaf, stats = build_alt_accel(sc, accel, ps)
+    o, d = _camera_rays(sc, ds)
+    tmax = jnp.full(o.shape[0], jnp.inf)
+    h_ref, _ = intersect_wide(ds, st, o, d, tmax)
+    h, s = intersect_kdbsp(nodes, dirs, ds, st, o, d, tmax, max_leaf)
+    v1, v2 = np.array(h_ref.valid), np.array(h.valid)
+    assert (v1 == v2).all()
+    m = v1 & v2
+    assert (np.array(h_ref.prim)[m] == np.array(h.prim)[m]).all()
+    np.testing.assert_allclose(np.array(h_ref.t)[m], np.array(h.t)[m],
+                               rtol=1e-3)
+    # any-hit agrees too
+    occ, _ = intersect_kdbsp(nodes, dirs, ds, st, o, d, tmax, max_leaf,
+                             any_hit=True)
+    assert (np.array(occ.valid) == v1).all()

@@ -1,0 +1,311 @@
+"""Unified kd-tree / RBSP / BSP traversal over flat node tensors.
+
+Counterpart of the reference's GenericBSP-family traversals
+(kdtreeaccel.cpp:380-500, rbsp.cpp:405-477, BSPKd.h:59-83): a kd-tree is the
+special case of a restricted BSP whose direction set is the three coordinate
+axes, so ONE lockstep traversal serves every tree in the thesis family — the
+split-plane distance is computed by projecting the ray onto the node's
+direction (rbsp.cpp intersectInterior), which reduces to the classic
+axis-aligned fast path when the direction is a basis vector.
+
+Node tensors (from tpupt.native builders):
+  flags (N,) i32  — direction index, == n_dirs for leaves
+  split (N,) f32  — plane offset t (plane: dot(p, dir) = t)
+  above (N,) i32  — above-child id (below child = node + 1)
+  first/count     — leaf prim ranges into prim_ids
+Per-ray stacks hold (node, tmin, tmax) like the reference's todo[] entries
+(kdtreeaccel.cpp:397 KdToDo).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tpupt.accel.traverse import Hit, TraversalStats
+from tpupt.shapes.sphere import intersect_sphere
+from tpupt.shapes.triangle import intersect_triangle, ray_permutation
+
+STACK_DEPTH = 64
+
+
+def get_directions(n: int):
+    """Fixed RBSP direction sets (RBSPShared.h:29-75 getDirections):
+    3 = coordinate axes; 7 = + 4 main diagonals; 9 = + 6 edge diagonals;
+    13 = all of the above."""
+    import numpy as np
+
+    axes = np.eye(3)
+    s3 = 1.0 / np.sqrt(3.0)
+    main_diag = np.array([[1, 1, 1], [1, 1, -1], [1, -1, 1], [1, -1, -1]]) * s3
+    s2 = 1.0 / np.sqrt(2.0)
+    edge_diag = np.array([[1, 1, 0], [1, -1, 0], [1, 0, 1],
+                          [1, 0, -1], [0, 1, 1], [0, 1, -1]]) * s2
+    if n <= 3:
+        return axes
+    if n <= 7:
+        return np.concatenate([axes, main_diag])
+    if n <= 9:
+        return np.concatenate([axes, edge_diag])
+    return np.concatenate([axes, main_diag, edge_diag])
+
+
+def build_alt_accel(scene, name: str, params=None):
+    """MakeAccelerator counterpart for the kd/BSP family (api.cpp:790-1016):
+    build the requested tree with the native builders and return the flat
+    node dict (jnp) + direction table. Returns None for BVH names."""
+    import warnings
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpupt.accel.bvh import scene_prim_bounds
+    from tpupt.native import build_kdtree, build_rbsp
+    from tpupt.scene.device import pack_prim_rows
+
+    if name in ("bvh", "bvhold", "", None):
+        return None
+    lo, hi = scene_prim_bounds(scene)
+    p = params
+    icost = p.find_one_float("intersectcost", 80.0) if p else 80.0
+    tcost = p.find_one_float("traversalcost", 1.0) if p else 1.0
+    ebonus = p.find_one_float("emptybonus", 0.5) if p else 0.5
+    maxp = p.find_one_int("maxprims", 1) if p else 1
+    maxd = p.find_one_int("maxdepth", -1) if p else -1
+
+    if name in ("kdtree", "kdtreeold"):
+        out = build_kdtree(lo, hi, icost, tcost, ebonus, maxp, maxd)
+        dirs = np.eye(3)
+    else:
+        n_dirs = p.find_one_int("nbDirections", 3) if p else 3
+        if name not in ("rbsp", "rbspkd"):
+            warnings.warn(f"accelerator {name!r}: using rbsp-{max(n_dirs, 13)} "
+                          "(per-node direction policies land in a later round)")
+            n_dirs = max(n_dirs, 13)
+        dirs = get_directions(n_dirs)
+        t = scene.triangles
+        # per-prim projected bounds along every direction
+        # (Triangle::getBounds(Vector3f), triangle.cpp:661)
+        if t.count:
+            pr0 = t.p0 @ dirs.T
+            pr1 = t.p1 @ dirs.T
+            pr2 = t.p2 @ dirs.T
+            tmin = np.minimum(np.minimum(pr0, pr1), pr2)
+            tmax = np.maximum(np.maximum(pr0, pr1), pr2)
+        else:
+            tmin = np.zeros((0, len(dirs)))
+            tmax = np.zeros((0, len(dirs)))
+        if scene.spheres.count:
+            # sphere projected bounds from AABB corners (conservative)
+            corners = np.stack(np.meshgrid(*[[0, 1]] * 3, indexing="ij"),
+                               -1).reshape(8, 3)
+            slo, shi = lo[t.count:], hi[t.count:]
+            pts = slo[:, None, :] + corners[None] * (shi - slo)[:, None, :]
+            proj = pts @ dirs.T
+            tmin = np.concatenate([tmin, proj.min(1)])
+            tmax = np.concatenate([tmax, proj.max(1)])
+        wlo, whi = scene.world_bounds()
+        out = build_rbsp(dirs, tmin, tmax, wlo, whi, icost, tcost, ebonus,
+                         maxp, maxd)
+
+    prim_rows = pack_prim_rows(scene, out["prim_ids"])
+    max_leaf = int(out["nprims"].max()) if len(out["nprims"]) else 1
+    nodes = dict(
+        flags=jnp.asarray(out["flags"]),
+        split=jnp.asarray(out["split"]),
+        above=jnp.asarray(out["above"]),
+        nprims=jnp.asarray(out["nprims"]),
+        prim_ids=jnp.asarray(out["prim_ids"]),
+        prim_rows=jnp.asarray(prim_rows),
+    )
+    stats = dict(n_nodes=out["n_nodes"], build_seconds=out["build_seconds"],
+                 max_leaf=max_leaf, n_leaves=int((out["flags"] >= len(dirs)).sum()))
+    return nodes, jnp.asarray(dirs.astype(np.float32)), max_leaf, stats
+
+
+def intersect_kdbsp(nodes, dirs, ds, st, o, d, tmax, max_leaf: int,
+                    any_hit: bool = False):
+    """nodes: dict of jnp arrays (flags/split/above/first/count/prim_ids);
+    dirs: (D, 3) direction table (D small: 3 for kd, <=13 for rbsp)."""
+    n = o.shape[0]
+    n_dirs = dirs.shape[0]
+    perm = ray_permutation(d)
+    i32 = jnp.int32
+    lane = jax.lax.broadcasted_iota(i32, (n, STACK_DEPTH), 1)
+
+    # ray projections onto every direction (D small -> dense matmul, no
+    # gathers; the kd fast path of rbspKd.cpp:69-90 falls out for free)
+    o_proj = o @ dirs.T   # (N, D)
+    d_proj = d @ dirs.T   # (N, D)
+
+    # clip to world bounds for the initial (tmin, tmax)
+    from tpupt.core.vecmath import ray_inv_d
+
+    inv_d = ray_inv_d(d)
+    t_lo = (ds.world_lo - o) * inv_d
+    t_hi = (ds.world_hi - o) * inv_d
+    t0 = jnp.maximum(jnp.max(jnp.minimum(t_lo, t_hi), -1), 0.0)
+    t1 = jnp.minimum(jnp.min(jnp.maximum(t_lo, t_hi), -1), tmax)
+    miss_world = t0 > t1
+
+    class _S(NamedTuple):
+        sp: jnp.ndarray
+        snode: jnp.ndarray
+        stmin: jnp.ndarray
+        stmax: jnp.ndarray
+        node: jnp.ndarray
+        tmin: jnp.ndarray
+        tmaxn: jnp.ndarray
+        have: jnp.ndarray   # current (node,tmin,tmax) valid
+        t: jnp.ndarray
+        prim: jnp.ndarray
+        b1: jnp.ndarray
+        b2: jnp.ndarray
+        p_obj: jnp.ndarray
+        nodes_v: jnp.ndarray
+        leaves_v: jnp.ndarray
+        tests: jnp.ndarray
+
+    init = _S(
+        sp=jnp.zeros(n, i32),
+        snode=jnp.zeros((n, STACK_DEPTH), i32),
+        stmin=jnp.zeros((n, STACK_DEPTH)),
+        stmax=jnp.zeros((n, STACK_DEPTH)),
+        node=jnp.zeros(n, i32),
+        tmin=t0, tmaxn=t1,
+        have=~miss_world,
+        t=jnp.asarray(tmax, jnp.float32),
+        prim=jnp.full(n, -1, i32),
+        b1=jnp.zeros(n), b2=jnp.zeros(n),
+        p_obj=jnp.zeros((n, 3)),
+        nodes_v=jnp.zeros(n, i32), leaves_v=jnp.zeros(n, i32),
+        tests=jnp.zeros(n, i32),
+    )
+
+    flags = nodes["flags"]
+    split = nodes["split"]
+    above = nodes["above"]
+    nprims = nodes["nprims"]
+    first = nodes["above"]  # for leaves, 'above' holds the prim offset
+    prim_ids = nodes["prim_ids"]
+    prim_rows = nodes["prim_rows"]
+    n_rows = prim_rows.shape[0]
+
+    def cond(s: _S):
+        return jnp.any(s.have | (s.sp > 0))
+
+    def body(s: _S):
+        # refill from stack where no current node
+        need = ~s.have & (s.sp > 0)
+        top = jnp.maximum(s.sp - 1, 0)
+        pn = jnp.take_along_axis(s.snode, top[:, None], 1)[:, 0]
+        ptmin = jnp.take_along_axis(s.stmin, top[:, None], 1)[:, 0]
+        ptmax = jnp.take_along_axis(s.stmax, top[:, None], 1)[:, 0]
+        node = jnp.where(need, pn, s.node)
+        tmin = jnp.where(need, ptmin, s.tmin)
+        tmax_n = jnp.where(need, ptmax, s.tmaxn)
+        sp = jnp.where(need, s.sp - 1, s.sp)
+        have = s.have | need
+        # early-out: ray already found a hit closer than this cell
+        have = have & ~(s.t < tmin)
+
+        fl = flags[node]
+        is_leaf = fl >= n_dirs
+        active_int = have & ~is_leaf
+        active_leaf = have & is_leaf
+        nodes_v = s.nodes_v + active_int.astype(i32)
+        leaves_v = s.leaves_v + active_leaf.astype(i32)
+
+        # ---- interior: projected plane distance (rbsp.cpp:68-80) ----
+        didx = jnp.minimum(fl, n_dirs - 1)
+        op = jnp.take_along_axis(o_proj, didx[:, None], 1)[:, 0]
+        dp = jnp.take_along_axis(d_proj, didx[:, None], 1)[:, 0]
+        sp_t = split[node]
+        t_plane = (sp_t - op) / jnp.where(jnp.abs(dp) < 1e-12, 1e-12, dp)
+        below_first = (op < sp_t) | ((op == sp_t) & (dp <= 0))
+        below = node + 1
+        abv = above[node]
+        first_child = jnp.where(below_first, below, abv)
+        second_child = jnp.where(below_first, abv, below)
+        # which children to visit (kdtreeaccel.cpp:430-450)
+        only_first = (t_plane > tmax_n) | (t_plane <= 0)
+        # pbrt's if/elif: only_first has PRIORITY over only_second
+        # (kdtreeaccel.cpp:430 — both can hold when t_plane <= 0)
+        only_second = (t_plane < tmin) & ~only_first
+        both = active_int & ~only_first & ~only_second
+        # push second child
+        at = lane == sp[:, None]
+        snode = jnp.where(at & both[:, None], second_child[:, None], s.snode)
+        stmin = jnp.where(at & both[:, None], t_plane[:, None], s.stmin)
+        stmax = jnp.where(at & both[:, None], tmax_n[:, None], s.stmax)
+        sp2 = sp + both.astype(i32)
+        node_next = jnp.where(
+            active_int,
+            jnp.where(only_second, second_child, first_child), node)
+        tmax_next = jnp.where(active_int & both, t_plane, tmax_n)
+
+        # ---- leaf: test prims (packed rows, contiguous in leaf order) ----
+        cnt = nprims[node]
+        pofs = first[node]
+
+        def leaf_body(k, carry):
+            t_cur, prim, b1, b2, p_obj, tests = carry
+            valid = active_leaf & (k < cnt)
+            ridx = jnp.minimum(pofs + k, n_rows - 1)
+            prow = prim_rows[ridx]
+            tests = tests + valid.astype(i32)
+            p_gid = jax.lax.bitcast_convert_type(prow[:, 16], jnp.int32)
+            p_is_tri = jax.lax.bitcast_convert_type(prow[:, 17], jnp.int32) == 1
+            h_t, tt, _, tb1, tb2 = intersect_triangle(
+                o, perm, prow[:, 0:3], prow[:, 3:6], prow[:, 6:9], t_cur)
+            win = valid & p_is_tri & h_t & (tt > 1e-6) & (tt < t_cur)
+            t_cur = jnp.where(win, tt, t_cur)
+            prim = jnp.where(win, p_gid, prim)
+            b1 = jnp.where(win, tb1, b1)
+            b2 = jnp.where(win, tb2, b2)
+            if st.n_spheres > 0:
+                m3 = prow[:, 0:12].reshape(n, 3, 4)
+                o_s = jnp.einsum("nij,nj->ni", m3[:, :, :3], o) + m3[:, :, 3]
+                d_s = jnp.einsum("nij,nj->ni", m3[:, :, :3], d)
+                a = jnp.sum(d_s * d_s, -1)
+                a_safe = jnp.where(a > 0, a, 1.0)
+                t_ca = jnp.sum(-o_s * d_s, -1) / a_safe
+                p_ca = o_s + t_ca[:, None] * d_s
+                d2 = jnp.sum(p_ca * p_ca, -1)
+                disc = (prow[:, 12] ** 2 - d2) * a
+                sv = (disc >= 0) & (a > 0)
+                dts = jnp.sqrt(jnp.maximum(disc, 0.0)) / a_safe
+                for ts_c in (t_ca - dts, t_ca + dts):
+                    pz = o_s[:, 2] + ts_c * d_s[:, 2]
+                    ok = sv & (ts_c > 1e-4) & (ts_c < t_cur) \
+                        & (pz >= prow[:, 13]) & (pz <= prow[:, 14])
+                    win_s = valid & ~p_is_tri & ok
+                    t_cur = jnp.where(win_s, ts_c, t_cur)
+                    prim = jnp.where(win_s, p_gid, prim)
+                    p_obj = jnp.where(win_s[:, None],
+                                      o_s + ts_c[:, None] * d_s, p_obj)
+            return (t_cur, prim, b1, b2, p_obj, tests)
+
+        t_cur, prim, b1, b2, p_obj, tests = jax.lax.fori_loop(
+            0, jnp.minimum(jnp.max(jnp.where(active_leaf, cnt, 0)), max_leaf),
+            leaf_body, (s.t, s.prim, s.b1, s.b2, s.p_obj, s.tests))
+
+        # leaf done -> need refill; kd early exit: hit within cell
+        done_leaf = active_leaf
+        exit_hit = done_leaf & (t_cur <= tmax_n)
+        have2 = have & ~done_leaf
+        sp3 = jnp.where(exit_hit, 0, sp2)
+        if any_hit:
+            sp3 = jnp.where(prim >= 0, 0, sp3)
+            have2 = have2 & ~(prim >= 0)
+
+        return _S(sp3, snode, stmin, stmax, node_next,
+                  jnp.where(active_int & both, tmin, tmin), tmax_next,
+                  have2, t_cur, prim, b1, b2, p_obj, nodes_v, leaves_v, tests)
+
+    out = jax.lax.while_loop(cond, body, init)
+    hit = Hit(valid=out.prim >= 0, t=out.t, prim=out.prim, b1=out.b1,
+              b2=out.b2, p_obj=out.p_obj)
+    return hit, TraversalStats(out.nodes_v, out.leaves_v, out.tests)

@@ -362,7 +362,30 @@ class Renderer:
         self.py = jnp.asarray(pyf)
         self.valid = jnp.asarray(valid)
         self.n_batches = len(pxf) // self.batch
-        self._isect, self._isect_p = pick_traversal(self.st)
+
+        accel = (scene.accelerator_name or "bvh").lower()
+        if accel in ("bvh", "bvhold"):
+            self._isect, self._isect_p = pick_traversal(self.st)
+            self.accel_stats = {"kind": "bvh", "n_nodes": self.st.n_nodes}
+        else:
+            # thesis kd/RBSP/BSP family via the native builders + unified
+            # projected-plane traversal (research-parity path)
+            from tpupt.accel.kdbsp import build_alt_accel, intersect_kdbsp
+
+            nodes, dirs, max_leaf, astats = build_alt_accel(
+                scene, accel, scene.accelerator_params)
+            self.accel_stats = {"kind": accel, **astats}
+            ds_, st_ = self.ds, self.st
+
+            def isect(ds, st, o, d, tmax, any_hit=False):
+                return intersect_kdbsp(nodes, dirs, ds, st, o, d, tmax,
+                                       max_leaf, any_hit=any_hit)
+
+            def isect_p(ds, st, o, d, tmax):
+                hit, stats = isect(ds, st, o, d, tmax, any_hit=True)
+                return hit.valid, stats
+
+            self._isect, self._isect_p = isect, isect_p
 
         max_depth = scene.integrator.max_depth
         rr_threshold = scene.integrator.rr_threshold
@@ -378,9 +401,30 @@ class Renderer:
                                  p_raster, jnp.stack([ul1, ul2], -1),
                                  cam.lens_radius, cam.focal_distance,
                                  xres, yres)
-            L, aov = path_li(ds, st, sampler, max_depth, rr_threshold,
-                             px_b, py_b, sample_idx, o, d,
-                             isect=self._isect, isect_p=self._isect_p)
+            name = scene.integrator.name
+            if name in ("path", "volpath", "bdpt", "mlt", "sppm"):
+                # volpath/bdpt/mlt/sppm fall back to path until implemented
+                L, aov = path_li(ds, st, sampler, max_depth, rr_threshold,
+                                 px_b, py_b, sample_idx, o, d,
+                                 isect=self._isect, isect_p=self._isect_p)
+            elif name in ("directlighting", "whitted"):
+                from tpupt.integrators.direct import direct_lighting_li
+
+                strat = scene.integrator.strategy if name == "directlighting" else "all"
+                L, aov = direct_lighting_li(
+                    ds, st, sampler, max_depth, strat, px_b, py_b,
+                    sample_idx, o, d, self._isect, self._isect_p)
+            elif name == "ambientocclusion":
+                from tpupt.integrators.direct import ao_li
+
+                L, aov = ao_li(ds, st, sampler,
+                               min(scene.integrator.n_ao_samples, 16),
+                               scene.integrator.cos_sample, px_b, py_b,
+                               sample_idx, o, d, self._isect, self._isect_p)
+            else:
+                L, aov = path_li(ds, st, sampler, max_depth, rr_threshold,
+                                 px_b, py_b, sample_idx, o, d,
+                                 isect=self._isect, isect_p=self._isect_p)
             # NaN/inf clamping to black (integrator.cpp:300-321)
             bad = ~jnp.isfinite(L).all(-1) | (jnp.min(L, -1) < 0.0)
             L = jnp.where(bad[..., None], 0.0, L)

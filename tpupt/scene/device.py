@@ -144,12 +144,20 @@ def upload(scene: FlatScene, bvh: BVHArrays = None,
     if bvh is None:
         lo, hi = scene_prim_bounds(scene)
         params = scene.accelerator_params
-        bvh = build_bvh(
-            lo, hi,
-            max_leaf_prims=params.find_one_int("maxnodeprims", 4) if params else 4,
-            isect_cost=params.find_one_float("intersectcost", 8.0) if params else 8.0,
-            traversal_cost=params.find_one_float("traversalcost", 1.0) if params else 1.0,
-        )
+        max_leaf = params.find_one_int("maxnodeprims", 4) if params else 4
+        icost = params.find_one_float("intersectcost", 8.0) if params else 8.0
+        tcost = params.find_one_float("traversalcost", 1.0) if params else 1.0
+        # exact sweep-SAH in native code (bvh.cpp parity) for moderate scene
+        # sizes; vectorized LBVH above that (sweep is O(n log^2 n) serial)
+        if 0 < len(lo) <= 400_000:
+            try:
+                from tpupt.native import build_bvh_sah
+
+                bvh = build_bvh_sah(lo, hi, icost, tcost, max_leaf)
+            except Exception:
+                bvh = build_bvh(lo, hi, max_leaf, icost, tcost)
+        else:
+            bvh = build_bvh(lo, hi, max_leaf, icost, tcost)
     t, s, m, lt = scene.triangles, scene.spheres, scene.materials, scene.lights
     wlo, whi = scene.world_bounds()
 
