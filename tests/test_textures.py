@@ -1,0 +1,113 @@
+"""Texture system tests (src/textures/ parity subset)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpupt.scene.loader import parse_string
+from tpupt.scene.flatten import flatten
+from tpupt.integrators.path import Renderer
+from tpupt.textures.textures import perlin, fbm
+
+
+def test_perlin_range_and_smoothness():
+    rng = np.random.default_rng(0)
+    p = jnp.asarray(rng.normal(size=(4096, 3)).astype(np.float32) * 10)
+    v = np.array(perlin(p))
+    assert np.abs(v).max() <= 1.5  # gradient noise stays bounded
+    assert v.std() > 0.05          # non-degenerate
+    # continuity: tiny perturbation -> tiny change
+    v2 = np.array(perlin(p + 1e-4))
+    assert np.abs(v - v2).max() < 1e-2
+
+
+def test_fbm_accumulates_octaves():
+    p = jnp.asarray(np.random.default_rng(1).normal(size=(512, 3)) * 5,
+                    dtype=jnp.float32)
+    v1 = np.array(fbm(p, 0.5, 1))
+    v4 = np.array(fbm(p, 0.5, 4))
+    assert v4.std() > v1.std() * 0.9  # more octaves, more detail
+
+
+def test_checkerboard_texture_renders():
+    img = _render_tex("""
+    Texture "check" "color" "checkerboard"
+        "color tex1" [1 0 0] "color tex2" [0 0 1]
+        "float uscale" [4] "float vscale" [4]
+    Material "matte" "texture Kd" "check"
+    """)
+    # both colors must appear
+    reds = (img[..., 0] > img[..., 2]).mean()
+    blues = (img[..., 2] > img[..., 0]).mean()
+    assert 0.2 < reds < 0.8 and 0.2 < blues < 0.8
+
+
+def test_constant_texture_folds():
+    img_t = _render_tex("""
+    Texture "k" "color" "constant" "color value" [0.2 0.4 0.6]
+    Material "matte" "texture Kd" "k"
+    """)
+    img_c = _render_tex('Material "matte" "color Kd" [0.2 0.4 0.6]')
+    np.testing.assert_allclose(img_t, img_c, atol=1e-5)
+
+
+def test_scale_texture():
+    img_t = _render_tex("""
+    Texture "base" "color" "constant" "color value" [0.5 0.5 0.5]
+    Texture "k" "color" "scale" "texture tex1" "base" "color tex2" [1 0.5 0.25]
+    Material "matte" "texture Kd" "k"
+    """)
+    img_c = _render_tex('Material "matte" "color Kd" [0.5 0.25 0.125]')
+    np.testing.assert_allclose(img_t, img_c, atol=1e-4)
+
+
+def _render_tex(mat_block, spp=4):
+    txt = f"""
+    LookAt 0 0 5   0 0 0   0 1 0
+    Camera "perspective" "float fov" [30]
+    Film "image" "integer xresolution" [24] "integer yresolution" [24]
+    Sampler "random" "integer pixelsamples" [4]
+    Integrator "path" "integer maxdepth" [1]
+    WorldBegin
+    LightSource "distant" "point from" [0 0 1] "point to" [0 0 0]
+        "color L" [3.14159265 3.14159265 3.14159265]
+    {mat_block}
+    Shape "trianglemesh" "point P" [ -50 -50 0  50 -50 0  50 50 0  -50 50 0 ]
+        "float uv" [0 0  1 0  1 1  0 1]
+        "integer indices" [0 1 2 2 3 0]
+    WorldEnd
+    """
+    sc = flatten(parse_string(txt))
+    r = Renderer(sc)
+    return r.image(r.render(spp=spp))
+
+
+def test_env_map_infinite_light(tmp_path):
+    # top hemisphere bright, bottom dark: a plane should be lit ~only by
+    # the bright half; escaped rays must see the map
+    from tpupt.utils.imageio import write_pfm
+
+    h, w = 16, 32
+    env = np.zeros((h, w, 3), np.float32)
+    # phi < pi half (u < 0.5) bright: for a -z-facing camera with +y up,
+    # that's directions with dy > 0 -> the TOP half of the image
+    env[:, : w // 2] = [2.0, 1.0, 0.5]
+    write_pfm(str(tmp_path / "env.pfm"), env)
+    txt = f"""
+    LookAt 0 0 2   0 0 0   0 1 0
+    Camera "perspective" "float fov" [60]
+    Film "image" "integer xresolution" [16] "integer yresolution" [16]
+    Sampler "random" "integer pixelsamples" [16]
+    Integrator "path" "integer maxdepth" [2]
+    WorldBegin
+    LightSource "infinite" "string mapname" "{tmp_path}/env.pfm"
+    WorldEnd
+    """
+    sc = flatten(parse_string(txt, search_dir=str(tmp_path)))
+    assert sc.env_map is not None
+    r = Renderer(sc)
+    img = r.image(r.render(spp=8))
+    # camera looks horizontally: upper half of image sees bright sky
+    top = img[:6].mean(0).mean(0)
+    bottom = img[10:].mean(0).mean(0)
+    np.testing.assert_allclose(top, [2.0, 1.0, 0.5], rtol=0.05)
+    np.testing.assert_allclose(bottom, 0.0, atol=1e-5)

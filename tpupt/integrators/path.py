@@ -95,11 +95,78 @@ def shading_point(ds: DeviceScene, st: SceneStatics, hit, o, d) -> ShadingPoint:
 
 
 def _infinite_light_le(ds, st):
-    """Constant-radiance sum of infinite lights (round-1 env maps)."""
+    """Constant-radiance sum of non-env infinite lights (the env-mapped
+    light's L is baked into its map)."""
     if st.n_lights == 0:
         return jnp.zeros(3)
     is_inf = ds.light_type == LIGHT_INFINITE
+    if st.env_light_id >= 0:
+        idx = jnp.arange(ds.light_type.shape[0])
+        is_inf = is_inf & (idx != st.env_light_id)
     return jnp.sum(jnp.where(is_inf[:, None], ds.light_L, 0.0), axis=0)
+
+
+def miss_radiance_and_pdf(ds, st, d):
+    """(Le, light-sampling pdf) for escaped rays: env-map radiance + any
+    constant infinite lights; pdf for the MIS weight of the BSDF sample."""
+    n = d.shape[0]
+    le = jnp.broadcast_to(_infinite_light_le(ds, st), (n, 3))
+    pdf = jnp.full(n, 1.0 / (4.0 * np.pi))
+    if st.env_w > 0:
+        from tpupt.lights.lights import env_pdf, env_radiance
+
+        le = le + env_radiance(ds, st, d)
+        pdf = env_pdf(ds, st, d)
+    return le, pdf
+
+
+def _expand_bits9(v):
+    """Spread 9 bits to every 3rd position (uint32)."""
+    v = v.astype(jnp.uint32)
+    v = (v | (v << jnp.uint32(16))) & jnp.uint32(0x030000FF)
+    v = (v | (v << jnp.uint32(8))) & jnp.uint32(0x0300F00F)
+    v = (v | (v << jnp.uint32(4))) & jnp.uint32(0x030C30C3)
+    v = (v | (v << jnp.uint32(2))) & jnp.uint32(0x09249249)
+    return v
+
+
+def ray_sort_keys(o, d, world_lo, world_hi):
+    """Coherence keys: direction octant (3 bits) then origin Morton (27).
+    Packet traversal efficiency is set by intra-packet coherence, so
+    secondary bounces are re-sorted every traversal (the wavefront analog
+    of the reference's tile decomposition)."""
+    octant = ((d[:, 0] < 0).astype(jnp.uint32) * 4
+              + (d[:, 1] < 0).astype(jnp.uint32) * 2
+              + (d[:, 2] < 0).astype(jnp.uint32))
+    ext = jnp.maximum(world_hi - world_lo, 1e-6)
+    q = jnp.clip((o - world_lo) / ext * 511.0, 0.0, 511.0).astype(jnp.uint32)
+    morton = (_expand_bits9(q[:, 0]) << jnp.uint32(2)) \
+        | (_expand_bits9(q[:, 1]) << jnp.uint32(1)) | _expand_bits9(q[:, 2])
+    return (octant << jnp.uint32(27)) | (morton >> jnp.uint32(5))
+
+
+def make_sorted_isect(isect, isect_p):
+    """Wrap traversal calls with coherence sorting + inverse scatter."""
+
+    def isect_sorted(ds, st, o, d, tmax, **kw):
+        n = o.shape[0]
+        perm = jnp.argsort(ray_sort_keys(o, d, ds.world_lo, ds.world_hi))
+        hit, stats = isect(ds, st, o[perm], d[perm], tmax[perm], **kw)
+        inv = jnp.zeros(n, jnp.int32).at[perm].set(
+            jnp.arange(n, dtype=jnp.int32))
+        hit = jax.tree.map(lambda a: a[inv], hit)
+        stats = jax.tree.map(lambda a: a[inv], stats)
+        return hit, stats
+
+    def isect_p_sorted(ds, st, o, d, tmax):
+        n = o.shape[0]
+        perm = jnp.argsort(ray_sort_keys(o, d, ds.world_lo, ds.world_hi))
+        occ, stats = isect_p(ds, st, o[perm], d[perm], tmax[perm])
+        inv = jnp.zeros(n, jnp.int32).at[perm].set(
+            jnp.arange(n, dtype=jnp.int32))
+        return occ[inv], jax.tree.map(lambda a: a[inv], stats)
+
+    return isect_sorted, isect_p_sorted
 
 
 def pick_traversal(st: SceneStatics, force: str = None):
@@ -121,7 +188,7 @@ def pick_traversal(st: SceneStatics, force: str = None):
                 ds, st, o, d, tmax, any_hit=True)
             return hit.valid, stats
 
-        return isect, isect_p
+        return make_sorted_isect(isect, isect_p)
     return trav.intersect_wide, trav.intersect_p
 
 
@@ -163,7 +230,6 @@ def path_li(ds: DeviceScene, st: SceneStatics, sampler: WavefrontSampler,
     u_all = (jnp.stack(dims) if dims
              else jnp.zeros((1, 7, n)))  # (D, 7, N)
 
-    inf_le = _infinite_light_le(ds, st)
     inf_pmf = 1.0 / max(st.n_lights, 1)
     tmax_init = jnp.full(n, jnp.inf)
     light_cdf = jnp.cumsum(ds.light_pdf)
@@ -222,12 +288,12 @@ def path_li(ds: DeviceScene, st: SceneStatics, sampler: WavefrontSampler,
 
             # miss -> infinite lights (path.cpp:100-107)
             miss = alive & ~hit.valid
+            miss_le, miss_pdf = miss_radiance_and_pdf(ds, st, d)
             w_inf = jnp.where(
                 s.prev_specular, 1.0,
-                power_heuristic(1.0, s.prev_pdf, 1.0,
-                                (1.0 / (4.0 * np.pi)) * inf_pmf))
+                power_heuristic(1.0, s.prev_pdf, 1.0, miss_pdf * inf_pmf))
             L = L + jnp.where(miss[..., None],
-                              beta * inf_le * w_inf[..., None], 0.0)
+                              beta * miss_le * w_inf[..., None], 0.0)
 
         alive = alive & hit.valid & ~is_last
 
@@ -236,7 +302,8 @@ def path_li(ds: DeviceScene, st: SceneStatics, sampler: WavefrontSampler,
         ub = u_all[jnp.minimum(bounce, max(max_depth - 1, 0))]
 
         # ---- material gather + local frame ----
-        mp = bx.gather_mat_params(ds, sp.mat)
+        mp = bx.gather_mat_params(ds, sp.mat, uv=sp.uv, p=sp.p,
+                                  has_textures=st.has_textures)
         t_f, b_f, n_f = bx.make_frame(sp.ns)
         wo_l = bx.to_local(t_f, b_f, n_f, wo)
 

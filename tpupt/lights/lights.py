@@ -84,10 +84,17 @@ def sample_li(ds, st, light_id, p, u1, u2):
     wi_d = ldir
     dist_d = jnp.full(n, 2.0) * wr
 
-    # --- infinite, constant radiance: uniform sphere direction ---
+    # --- infinite: env-map importance sampling, else uniform sphere ---
     wi_inf = uniform_sample_sphere(u1, u2)
+    li_inf = lL
     pdf_inf = jnp.full(n, 1.0 / (4.0 * jnp.pi))
     dist_inf = jnp.full(n, 2.0) * wr
+    if st.env_w > 0:
+        wi_env, li_env, pdf_env = sample_env(ds, st, u1, u2)
+        is_env = light_id == st.env_light_id
+        wi_inf = jnp.where(is_env[..., None], wi_env, wi_inf)
+        li_inf = jnp.where(is_env[..., None], li_env, li_inf)
+        pdf_inf = jnp.where(is_env, pdf_env, pdf_inf)
 
     # --- area: triangle or sphere prim ---
     is_tri_prim = lprim < st.n_tris
@@ -142,7 +149,7 @@ def sample_li(ds, st, light_id, p, u1, u2):
     for tid_, w_, l_, pf_, dd_, df_ in (
         (LIGHT_SPOT, wi_p, li_spot, jnp.ones(n), dist_p, True),
         (LIGHT_DISTANT, wi_d, lL, jnp.ones(n), dist_d, True),
-        (LIGHT_INFINITE, wi_inf, lL, pdf_inf, dist_inf, False),
+        (LIGHT_INFINITE, wi_inf, li_inf, pdf_inf, dist_inf, False),
         (LIGHT_AREA, wi_area, li_area, pdf_area, dist_area, False),
     ):
         sel = lt == tid_
@@ -177,6 +184,81 @@ def pdf_li(ds, st, p, wi, hit_prim, hit_t):
 
 def pdf_li_infinite(n):
     return jnp.full(n, 1.0 / (4.0 * jnp.pi))
+
+
+# ------------------------- environment map light ---------------------------
+# (lights/infinite.cpp InfiniteAreaLight: equirect map, luminance*sin(theta)
+# importance distribution, bilinear radiance lookup)
+
+
+def _env_uv(ds, d_world):
+    d_l = d_world @ ds.env_w2l.T
+    theta = jnp.arccos(jnp.clip(d_l[..., 2], -1.0, 1.0))
+    phi = jnp.arctan2(d_l[..., 1], d_l[..., 0])
+    phi = jnp.where(phi < 0, phi + 2 * jnp.pi, phi)
+    return phi / (2 * jnp.pi), theta / jnp.pi, theta
+
+
+def _env_fetch(ds, st, u, v):
+    """Bilinear fetch from the flat equirect map."""
+    w, h = st.env_w, st.env_h
+    fx = u * w - 0.5
+    fy = v * h - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    ax = (fx - x0)[..., None]
+    ay = (fy - y0)[..., None]
+
+    def texel(xi, yi):
+        xi = xi.astype(jnp.int32) % w
+        yi = jnp.clip(yi.astype(jnp.int32), 0, h - 1)
+        return ds.env_map[yi * w + xi]
+
+    return ((1 - ax) * (1 - ay) * texel(x0, y0)
+            + ax * (1 - ay) * texel(x0 + 1, y0)
+            + (1 - ax) * ay * texel(x0, y0 + 1)
+            + ax * ay * texel(x0 + 1, y0 + 1))
+
+
+def env_radiance(ds, st, d_world):
+    """Le of the environment for escaped rays (InfiniteAreaLight::Le)."""
+    u, v, _ = _env_uv(ds, d_world)
+    return _env_fetch(ds, st, u, v)
+
+
+def env_pdf(ds, st, d_world):
+    """Solid-angle pdf the env importance sampler assigns to direction d
+    (infinite.cpp Pdf_Li)."""
+    from tpupt.core.sampling import Distribution2D
+
+    u, v, theta = _env_uv(ds, d_world)
+    d2 = Distribution2D(ds.env_cond_func, ds.env_cond_cdf,
+                        ds.env_cond_integral, ds.env_marg_func,
+                        ds.env_marg_cdf, ds.env_marg_integral)
+    pdf_uv = d2.pdf(u, v)
+    sin_t = jnp.maximum(jnp.sin(theta), 1e-6)
+    return pdf_uv / (2.0 * jnp.pi * jnp.pi * sin_t)
+
+
+def sample_env(ds, st, u1, u2):
+    """Importance-sample the environment (infinite.cpp Sample_Li).
+    Returns (wi_world, Li, pdf)."""
+    from tpupt.core.sampling import Distribution2D
+
+    d2 = Distribution2D(ds.env_cond_func, ds.env_cond_cdf,
+                        ds.env_cond_integral, ds.env_marg_func,
+                        ds.env_marg_cdf, ds.env_marg_integral)
+    (u, v), pdf_uv = d2.sample_continuous(u1, u2)
+    theta = v * jnp.pi
+    phi = u * 2.0 * jnp.pi
+    sin_t = jnp.sin(theta)
+    d_l = jnp.stack([sin_t * jnp.cos(phi), sin_t * jnp.sin(phi),
+                     jnp.cos(theta)], -1)
+    wi = d_l @ ds.env_w2l  # inverse of the w2l rotation = transpose
+    li = _env_fetch(ds, st, u, v)
+    pdf = pdf_uv / jnp.maximum(2.0 * jnp.pi * jnp.pi * sin_t, 1e-9)
+    pdf = jnp.where(sin_t <= 1e-6, 0.0, pdf)
+    return wi, li, pdf
 
 
 def emitted_radiance(ds, st, hit_prim, hit_light, wo_world, ns):

@@ -67,8 +67,10 @@ def roughness_to_alpha(r):
     return 1.62142 + 0.819955 * x + 0.1734 * x * x + 0.0171201 * x**3 + 0.000640711 * x**4
 
 
-def gather_mat_params(ds, mat_id):
-    """Gather + preprocess material rows for a hit batch."""
+def gather_mat_params(ds, mat_id, uv=None, p=None, has_textures=False):
+    """Gather + preprocess material rows for a hit batch. When `uv`/`p`
+    are given and the scene has non-constant textures, kd/ks are evaluated
+    per hit (Material::ComputeScatteringFunctions texture evaluation)."""
     rough = ds.mat_roughness[mat_id]
     ur = ds.mat_urough[mat_id]
     vr = ds.mat_vrough[mat_id]
@@ -79,9 +81,24 @@ def gather_mat_params(ds, mat_id):
     ay = jnp.where(remap, roughness_to_alpha(vr), jnp.maximum(vr, 1e-3))
     sigma = jnp.deg2rad(ds.mat_sigma[mat_id])
     s2 = sigma * sigma
+    kd = ds.mat_kd[mat_id]
+    ks = ds.mat_ks[mat_id]
+    if has_textures and uv is not None:
+        from tpupt.textures.textures import eval_texture
+
+        tx = {k: getattr(ds, k) for k in
+              ("tex_type", "tex_v1", "tex_v2", "tex_uvscale", "tex_f1",
+               "tex_f2", "tex_img_off", "tex_img_w", "tex_img_h",
+               "tex_atlas")}
+        kd_tid = ds.mat_kd_tex[mat_id]
+        ks_tid = ds.mat_ks_tex[mat_id]
+        kd_tex = eval_texture(tx, jnp.maximum(kd_tid, 0), uv, p)
+        kd = jnp.where((kd_tid >= 0)[:, None], kd_tex, kd)
+        ks_tex = eval_texture(tx, jnp.maximum(ks_tid, 0), uv, p)
+        ks = jnp.where((ks_tid >= 0)[:, None], ks_tex, ks)
     return MatParams(
         type=ds.mat_type[mat_id],
-        kd=ds.mat_kd[mat_id], ks=ds.mat_ks[mat_id],
+        kd=kd, ks=ks,
         kr=ds.mat_kr[mat_id], kt=ds.mat_kt[mat_id],
         alpha_x=ax, alpha_y=ay,
         eta=ds.mat_eta[mat_id], k=ds.mat_k[mat_id],

@@ -76,6 +76,28 @@ class DeviceScene(NamedTuple):
     light_cos_total: jnp.ndarray
     light_cos_falloff: jnp.ndarray
     light_pdf: jnp.ndarray  # discrete choice pmf per light (uniform or power)
+    # textures (flat tables + atlas; textures/textures.py)
+    tex_type: jnp.ndarray
+    tex_v1: jnp.ndarray
+    tex_v2: jnp.ndarray
+    tex_uvscale: jnp.ndarray
+    tex_f1: jnp.ndarray
+    tex_f2: jnp.ndarray
+    tex_img_off: jnp.ndarray
+    tex_img_w: jnp.ndarray
+    tex_img_h: jnp.ndarray
+    tex_atlas: jnp.ndarray
+    mat_kd_tex: jnp.ndarray
+    mat_ks_tex: jnp.ndarray
+    # environment map (equirect) + 2D importance distribution
+    env_map: jnp.ndarray        # (H*W, 3) flat radiance (1 texel if none)
+    env_w2l: jnp.ndarray        # (3,3)
+    env_cond_func: jnp.ndarray  # Distribution2D tables
+    env_cond_cdf: jnp.ndarray
+    env_cond_integral: jnp.ndarray
+    env_marg_func: jnp.ndarray
+    env_marg_cdf: jnp.ndarray
+    env_marg_integral: jnp.ndarray
     # camera
     cam_to_world: jnp.ndarray
     raster_to_camera: jnp.ndarray
@@ -91,6 +113,10 @@ class SceneStatics(NamedTuple):
     max_leaf: int
     n_nodes: int
     n_wide_nodes: int
+    env_w: int = 0
+    env_h: int = 0
+    env_light_id: int = -1
+    has_textures: bool = False
 
 
 def pack_prim_rows(scene: FlatScene, prim_ids: np.ndarray) -> np.ndarray:
@@ -232,14 +258,67 @@ def upload(scene: FlatScene, bvh: BVHArrays = None,
         light_cos_total=jnp.asarray(_pad1(lt.cos_total)),
         light_cos_falloff=jnp.asarray(_pad1(lt.cos_falloff)),
         light_pdf=jnp.asarray(light_pdf.astype(np.float32)),
+        **_texture_fields(scene, m),
+        **_env_fields(scene),
         cam_to_world=jnp.asarray(scene.camera.cam_to_world),
         raster_to_camera=jnp.asarray(scene.camera.raster_to_camera),
         world_lo=jnp.asarray(wlo), world_hi=jnp.asarray(whi),
     )
+    env_h, env_w = ((scene.env_map.shape[0], scene.env_map.shape[1])
+                    if scene.env_map is not None else (0, 0))
     statics = SceneStatics(
         n_tris=t.count, n_spheres=s.count, n_lights=n_lights,
         max_leaf=int(bvh.count.max()) if bvh.n_nodes else 1,
         n_nodes=bvh.n_nodes,
         n_wide_nodes=len(wide_nodes),
+        env_w=env_w, env_h=env_h, env_light_id=scene.env_light_id,
+        has_textures=bool(
+            (m.kd_tex >= 0).any() or (m.ks_tex >= 0).any()),
     )
     return ds, statics
+
+
+def _texture_fields(scene: FlatScene, m) -> dict:
+    tx = scene.textures or {}
+    defaults = dict(
+        tex_type=np.zeros(1, np.int32),
+        tex_v1=np.full((1, 3), 0.5, np.float32),
+        tex_v2=np.zeros((1, 3), np.float32),
+        tex_uvscale=np.ones((1, 2), np.float32),
+        tex_f1=np.zeros(1, np.float32), tex_f2=np.zeros(1, np.float32),
+        tex_img_off=np.zeros(1, np.int32), tex_img_w=np.zeros(1, np.int32),
+        tex_img_h=np.zeros(1, np.int32),
+        tex_atlas=np.full((1, 3), 0.5, np.float32),
+    )
+    out = {k: jnp.asarray(tx.get(k, v)) for k, v in defaults.items()}
+    out["mat_kd_tex"] = jnp.asarray(m.kd_tex)
+    out["mat_ks_tex"] = jnp.asarray(m.ks_tex)
+    return out
+
+
+def _env_fields(scene: FlatScene) -> dict:
+    from tpupt.core.sampling import Distribution2D
+
+    if scene.env_map is None:
+        z = jnp.zeros(1)
+        return dict(env_map=jnp.zeros((1, 3)), env_w2l=jnp.eye(3),
+                    env_cond_func=jnp.zeros((1, 1)),
+                    env_cond_cdf=jnp.zeros((1, 2)), env_cond_integral=z,
+                    env_marg_func=z, env_marg_cdf=jnp.zeros(2),
+                    env_marg_integral=jnp.zeros(()))
+    img = scene.env_map
+    h, w = img.shape[:2]
+    # luminance * sin(theta) importance (lights/infinite.cpp:65)
+    lum = img @ np.array([0.2126, 0.7152, 0.0722], np.float32)
+    theta = (np.arange(h) + 0.5) / h * np.pi
+    func = lum * np.sin(theta)[:, None]
+    d2 = Distribution2D.build(jnp.asarray(func))
+    return dict(
+        env_map=jnp.asarray(img.reshape(-1, 3)),
+        env_w2l=jnp.asarray(scene.env_w2l if scene.env_w2l is not None
+                            else np.eye(3, dtype=np.float32)),
+        env_cond_func=d2.cond_func, env_cond_cdf=d2.cond_cdf,
+        env_cond_integral=d2.cond_integral,
+        env_marg_func=d2.marg_func, env_marg_cdf=d2.marg_cdf,
+        env_marg_integral=d2.marg_integral,
+    )

@@ -195,6 +195,10 @@ class FlatScene:
     integrator: IntegratorConfig
     accelerator_name: str = "bvh"
     accelerator_params: Optional[ParamSet] = None
+    textures: Optional[dict] = None       # flat texture tables (numpy)
+    env_map: Optional[np.ndarray] = None  # (H, W, 3) equirect radiance
+    env_light_id: int = -1                # light row using the env map
+    env_w2l: Optional[np.ndarray] = None  # (3,3) world-to-light rotation
 
     @property
     def prim_count(self) -> int:
@@ -232,7 +236,11 @@ def _sphere_world_bounds(s: Spheres):
 
 
 def _resolve_spectrum(params: ParamSet, name: str, default,
-                      textures: Dict, warn_ctx: str) -> np.ndarray:
+                      textures: Dict, warn_ctx: str,
+                      tex_table=None) -> np.ndarray:
+    """Constant value for a spectrum param; non-constant textures return a
+    representative value AND register a per-hit texture id via
+    _resolve_spectrum_tex (see _MaterialTable)."""
     tex = params.find_texture(name)
     if tex is None:
         return params.find_one_spectrum(name, default)
@@ -250,10 +258,6 @@ def _resolve_spectrum(params: ParamSet, name: str, default,
         t1 = td.params.find_one_spectrum("tex1", [1, 1, 1])
         t2 = td.params.find_one_spectrum("tex2", [0, 0, 0])
         return 0.5 * (np.asarray(t1) + np.asarray(t2))
-    warnings.warn(
-        f"{warn_ctx}: texture class {td.klass!r} not yet evaluated per-hit; "
-        "using its mean value"
-    )
     return np.asarray(default, np.float64)
 
 
@@ -270,12 +274,25 @@ def _resolve_float(params: ParamSet, name: str, default: float,
 
 
 class _MaterialTable:
-    """Deduplicating material builder."""
+    """Deduplicating material builder. Non-constant kd/ks textures are
+    registered in the scene TextureTable and referenced by id for per-hit
+    evaluation (textures/textures.py)."""
 
-    def __init__(self, textures: Dict):
+    def __init__(self, textures: Dict, tex_table=None):
         self.textures = textures
+        self.tex_table = tex_table
         self.rows: List[dict] = []
         self.cache: Dict = {}
+
+    def _tex_id(self, params: ParamSet, name: str) -> int:
+        if self.tex_table is None:
+            return -1
+        ref = params.find_texture(name)
+        if ref is None or ref not in self.textures:
+            return -1
+        if self.textures[ref].klass in ("constant",):
+            return -1  # folded to the constant value
+        return self.tex_table.name_to_id.get(ref, -1)
 
     def add(self, spec: MaterialSpec) -> int:
         key = id(spec)
@@ -301,6 +318,8 @@ class _MaterialTable:
             eta=np.full(3, 1.5), k=np.zeros(3), sigma=0.0,
             remap=True, kd_tex=-1, ks_tex=-1,
         )
+        row["kd_tex"] = self._tex_id(p, "Kd")
+        row["ks_tex"] = self._tex_id(p, "Ks")
         if t == MAT_MATTE:
             row["kd"] = _resolve_spectrum(p, "Kd", [0.5] * 3, self.textures, ctx)
             row["sigma"] = _resolve_float(p, "sigma", 0.0, self.textures, ctx)
@@ -448,7 +467,10 @@ def flatten(desc: SceneDescription, scene_dir: str = ".") -> FlatScene:
                             rec.material, rec.area_light, rec.reverse_orientation,
                             rec.medium_interface, rec.filename))
 
-    mats = _MaterialTable(desc.textures)
+    from tpupt.textures.textures import TextureTable
+
+    tex_table = TextureTable.build(desc.textures, scene_dir)
+    mats = _MaterialTable(desc.textures, tex_table)
     tri_chunks: List[dict] = []
     sph_rows: List[dict] = []
     light_rows: List[dict] = []
@@ -569,6 +591,7 @@ def flatten(desc: SceneDescription, scene_dir: str = ".") -> FlatScene:
     )
 
     # 3. non-area lights
+    env_state = {"map": None, "id": -1, "w2l": None}
     for lr in desc.lights:
         p = lr.params
         t = lr.light_to_world
@@ -603,9 +626,23 @@ def flatten(desc: SceneDescription, scene_dir: str = ".") -> FlatScene:
                                    cos_falloff=np.cos(np.deg2rad(cone - delta))))
         elif lr.type == "infinite":
             L = p.find_one_spectrum("L", [1, 1, 1]) * scale
-            if p.find_one_string("mapname", ""):
-                warnings.warn("infinite light environment map not yet supported; "
-                              "using constant L")
+            mapname = p.find_one_string("mapname", "")
+            if mapname:
+                from tpupt.textures.textures import _load_image
+
+                path = mapname if os.path.isabs(mapname) else os.path.join(
+                    scene_dir, mapname)
+                img = _load_image(path)
+                if img is not None:
+                    if env_state["map"] is not None:
+                        warnings.warn("multiple env-mapped infinite lights; "
+                                      "only the first gets the map")
+                    else:
+                        env_state["map"] = (img * np.asarray(L)).astype(np.float32)
+                        env_state["id"] = len(light_rows)
+                        env_state["w2l"] = t.m_inv[:3, :3].astype(np.float32)
+                else:
+                    warnings.warn(f"env map {mapname!r} not found; constant L")
             light_rows.append(dict(type=LIGHT_INFINITE, L=L, pos=np.zeros(3),
                                    dir=np.array([0, 0, 1.0]), prim=-1,
                                    nsamples=p.find_one_int("samples", p.find_one_int("nsamples", 1)),
@@ -632,7 +669,11 @@ def flatten(desc: SceneDescription, scene_dir: str = ".") -> FlatScene:
     integ = _integrator_config(desc)
 
     return FlatScene(tris, spheres, mats.finalize(), lights, camera, film,
-                     sampler, integ, desc.accelerator_name, desc.accelerator_params)
+                     sampler, integ, desc.accelerator_name,
+                     desc.accelerator_params,
+                     textures=tex_table.arrays(),
+                     env_map=env_state["map"], env_light_id=env_state["id"],
+                     env_w2l=env_state["w2l"])
 
 
 def with_resolution(scene: FlatScene, xres: int, yres: int) -> FlatScene:

