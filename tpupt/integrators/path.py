@@ -130,11 +130,12 @@ def _expand_bits9(v):
     return v
 
 
-def ray_sort_keys(o, d, world_lo, world_hi):
-    """Coherence keys: direction octant (3 bits) then origin Morton (27).
-    Packet traversal efficiency is set by intra-packet coherence, so
-    secondary bounces are re-sorted every traversal (the wavefront analog
-    of the reference's tile decomposition)."""
+def ray_sort_keys(o, d, tmax, world_lo, world_hi):
+    """Coherence keys: dead bit (tmax == 0) | direction octant (3 bits) |
+    origin Morton (27). Packet traversal efficiency is set by intra-packet
+    coherence, so secondary bounces are re-sorted every traversal (the
+    wavefront analog of the reference's tile decomposition); terminated
+    lanes cluster into packets that exit on the root test."""
     octant = ((d[:, 0] < 0).astype(jnp.uint32) * 4
               + (d[:, 1] < 0).astype(jnp.uint32) * 2
               + (d[:, 2] < 0).astype(jnp.uint32))
@@ -142,7 +143,9 @@ def ray_sort_keys(o, d, world_lo, world_hi):
     q = jnp.clip((o - world_lo) / ext * 511.0, 0.0, 511.0).astype(jnp.uint32)
     morton = (_expand_bits9(q[:, 0]) << jnp.uint32(2)) \
         | (_expand_bits9(q[:, 1]) << jnp.uint32(1)) | _expand_bits9(q[:, 2])
-    return (octant << jnp.uint32(27)) | (morton >> jnp.uint32(5))
+    dead = (tmax <= 0.0).astype(jnp.uint32)
+    return (dead << jnp.uint32(30)) | (octant << jnp.uint32(27)) \
+        | (morton >> jnp.uint32(5))
 
 
 def make_sorted_isect(isect, isect_p):
@@ -150,7 +153,7 @@ def make_sorted_isect(isect, isect_p):
 
     def isect_sorted(ds, st, o, d, tmax, **kw):
         n = o.shape[0]
-        perm = jnp.argsort(ray_sort_keys(o, d, ds.world_lo, ds.world_hi))
+        perm = jnp.argsort(ray_sort_keys(o, d, tmax, ds.world_lo, ds.world_hi))
         hit, stats = isect(ds, st, o[perm], d[perm], tmax[perm], **kw)
         inv = jnp.zeros(n, jnp.int32).at[perm].set(
             jnp.arange(n, dtype=jnp.int32))
@@ -160,7 +163,7 @@ def make_sorted_isect(isect, isect_p):
 
     def isect_p_sorted(ds, st, o, d, tmax):
         n = o.shape[0]
-        perm = jnp.argsort(ray_sort_keys(o, d, ds.world_lo, ds.world_hi))
+        perm = jnp.argsort(ray_sort_keys(o, d, tmax, ds.world_lo, ds.world_hi))
         occ, stats = isect_p(ds, st, o[perm], d[perm], tmax[perm])
         inv = jnp.zeros(n, jnp.int32).at[perm].set(
             jnp.arange(n, dtype=jnp.int32))
@@ -262,7 +265,8 @@ def path_li(ds: DeviceScene, st: SceneStatics, sampler: WavefrontSampler,
         L, beta, alive = s.L, s.beta, s.alive
         is_last = bounce >= max_depth  # emission-only final vertex
 
-        hit, tstats = intersect(ds, st, o, d, tmax_init)
+        hit, tstats = intersect(ds, st, o, d,
+                                jnp.where(alive, tmax_init, 0.0))
         aov_nodes = s.aov_nodes + jnp.where(alive, tstats.node_visits, 0)
         aov_leaves = s.aov_leaves + jnp.where(alive, tstats.leaf_visits, 0)
         aov_tests = s.aov_tests + jnp.where(alive, tstats.prim_tests, 0)
@@ -456,9 +460,25 @@ class Renderer:
 
         max_depth = scene.integrator.max_depth
         rr_threshold = scene.integrator.rr_threshold
-        ds, st, sampler = self.ds, self.st, self.sampler
+        st, sampler = self.st, self.sampler
 
-        def step(film, sample_idx, px_b, py_b, valid_b):
+        # global exterior medium for volpath (media/media.py)
+        self._medium = None
+        if scene.media:
+            from tpupt.media.media import build_medium
+
+            first = next(iter(scene.media.values()))
+            if len(scene.media) > 1:
+                import warnings
+
+                warnings.warn("multiple named media: the first becomes the "
+                              "global exterior medium (per-interface media "
+                              "land in a later round)")
+            self._medium = build_medium(first, scene)
+
+        # NOTE: ds is a jit ARGUMENT, not a closure — closure-captured scene
+        # tensors become HLO constants and inflate compile time
+        def step(ds, film, sample_idx, px_b, py_b, valid_b):
             jx, jy = sampler.camera_jitter(px_b, py_b, sample_idx)
             p_raster = jnp.stack([px_b.astype(jnp.float32) + jx,
                                   py_b.astype(jnp.float32) + jy], -1)
@@ -469,8 +489,14 @@ class Renderer:
                                  cam.lens_radius, cam.focal_distance,
                                  xres, yres)
             name = scene.integrator.name
-            if name in ("path", "volpath", "bdpt", "mlt", "sppm"):
-                # volpath/bdpt/mlt/sppm fall back to path until implemented
+            if name == "volpath" and self._medium is not None:
+                from tpupt.integrators.volpath import volpath_li
+
+                L, aov = volpath_li(ds, st, sampler, self._medium, max_depth,
+                                    rr_threshold, px_b, py_b, sample_idx,
+                                    o, d, self._isect, self._isect_p)
+            elif name in ("path", "volpath", "bdpt", "mlt", "sppm"):
+                # bdpt/mlt/sppm fall back to path until implemented
                 L, aov = path_li(ds, st, sampler, max_depth, rr_threshold,
                                  px_b, py_b, sample_idx, o, d,
                                  isect=self._isect, isect_p=self._isect_p)
@@ -506,7 +532,10 @@ class Renderer:
             return filmmod.add_samples(film, self.cfg, p_raster, L, aov,
                                        mask=valid_b)
 
-        self._step = jax.jit(step, donate_argnums=(0,))
+        self._step_fn = jax.jit(step, donate_argnums=(1,))
+
+    def _step(self, film, sample_idx, px_b, py_b, valid_b):
+        return self._step_fn(self.ds, film, sample_idx, px_b, py_b, valid_b)
 
     def render(self, spp: int = None, film=None, verbose: bool = False):
         spp = spp or self.scene.sampler.spp

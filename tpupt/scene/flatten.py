@@ -196,6 +196,7 @@ class FlatScene:
     accelerator_name: str = "bvh"
     accelerator_params: Optional[ParamSet] = None
     textures: Optional[dict] = None       # flat texture tables (numpy)
+    media: Optional[dict] = None          # named MediumRecords (host objects)
     env_map: Optional[np.ndarray] = None  # (H, W, 3) equirect radiance
     env_light_id: int = -1                # light row using the env map
     env_w2l: Optional[np.ndarray] = None  # (3,3) world-to-light rotation
@@ -672,6 +673,7 @@ def flatten(desc: SceneDescription, scene_dir: str = ".") -> FlatScene:
                      sampler, integ, desc.accelerator_name,
                      desc.accelerator_params,
                      textures=tex_table.arrays(),
+                     media=dict(desc.media),
                      env_map=env_state["map"], env_light_id=env_state["id"],
                      env_w2l=env_state["w2l"])
 
