@@ -266,7 +266,27 @@ WIDE_WIDTH = 8
 META_EMPTY = -2**31  # empty child slot sentinel (leaf encodings stay > this)
 
 
-def collapse_to_wide(b: BVHArrays, width: int = WIDE_WIDTH):
+def subtree_ranges(b: BVHArrays):
+    """Contiguous prim range [first, last] per binary node (both builders
+    emit DFS-partitioned prim_ids, so every subtree is a contiguous run)."""
+    n = b.n_nodes
+    first = np.zeros(n, np.int64)
+    last = np.zeros(n, np.int64)
+    # reverse-DFS: children appear after parents in the flat layout, so a
+    # backward sweep sees children before their parent
+    for i in range(n - 1, -1, -1):
+        if b.count[i] > 0:
+            first[i] = b.first[i]
+            last[i] = b.first[i] + b.count[i] - 1
+        else:
+            l, r = i + 1, int(b.right[i])
+            first[i] = min(first[l], first[r])
+            last[i] = max(last[l], last[r])
+    return first, last
+
+
+def collapse_to_wide(b: BVHArrays, width: int = WIDE_WIDTH,
+                     leaf_merge: int = 8):
     """Collapse the binary BVH into a width-ary BVH packed one node per
     64-float row — the TPU-native node layout: a single row gather per
     traversal step fetches all children's bounds + metadata (TPU gathers
@@ -294,9 +314,19 @@ def collapse_to_wide(b: BVHArrays, width: int = WIDE_WIDTH):
         return row, None
 
     lo, hi, right, first, count = b.lo, b.hi, b.right, b.first, b.count
+    # packet economics: a leaf of <= 8 prims costs ONE (8, 32) slice load,
+    # so merge small subtrees into fat leaves regardless of scalar SAH
+    # (sweep-SAH's 1-prim leaves would octuple the node count)
+    sub_first, sub_last = subtree_ranges(b)
+    sub_count = sub_last - sub_first + 1
+
+    def is_leaf_slot(i):
+        return count[i] > 0 or sub_count[i] <= leaf_merge
 
     def leaf_meta(i):
-        return -(int(first[i]) * 64 + int(count[i])) - 1
+        if count[i] > 0:
+            return -(int(first[i]) * 64 + int(count[i])) - 1
+        return -(int(sub_first[i]) * 64 + int(sub_count[i])) - 1
 
     # Collect up to `width` grandchildren by splitting the largest-area
     # interior slot repeatedly (greedy SAH-area heuristic).
@@ -305,7 +335,7 @@ def collapse_to_wide(b: BVHArrays, width: int = WIDE_WIDTH):
         while len(slots) < width:
             best, best_area = -1, -1.0
             for k, s in enumerate(slots):
-                if count[s] == 0:
+                if not is_leaf_slot(s):
                     a = float(_surface_area(lo[s], hi[s]))
                     if a > best_area:
                         best, best_area = k, a
@@ -330,7 +360,7 @@ def collapse_to_wide(b: BVHArrays, width: int = WIDE_WIDTH):
                 s = slots[c]
                 row[c * 6 : c * 6 + 3] = lo[s]
                 row[c * 6 + 3 : c * 6 + 6] = hi[s]
-                if count[s] > 0:
+                if is_leaf_slot(s):
                     meta[c] = leaf_meta(s)
                 else:
                     wid = len(rows)

@@ -144,8 +144,13 @@ def ray_sort_keys(o, d, tmax, world_lo, world_hi):
     morton = (_expand_bits9(q[:, 0]) << jnp.uint32(2)) \
         | (_expand_bits9(q[:, 1]) << jnp.uint32(1)) | _expand_bits9(q[:, 2])
     dead = (tmax <= 0.0).astype(jnp.uint32)
-    return (dead << jnp.uint32(30)) | (octant << jnp.uint32(27)) \
-        | (morton >> jnp.uint32(5))
+    # NOTE (measured): for bounce rays the incoming PIXEL-TILE order is
+    # already origin-coherent and octant-major reordering HURTS (it
+    # scatters tight origin clusters). Sort by the dead bit only — a
+    # stable partition that clusters terminated lanes while preserving
+    # tile locality. Full keys retained above for experimentation.
+    del octant, morton
+    return dead
 
 
 def make_sorted_isect(isect, isect_p):
@@ -547,6 +552,45 @@ class Renderer:
                 sl = slice(k * b, (k + 1) * b)
                 film = self._step(film, jnp.uint32(s), self.px[sl],
                                   self.py[sl], self.valid[sl])
+            if verbose:
+                print(f"  sample {s + 1}/{spp}", flush=True)
+        return film
+
+    def save_checkpoint(self, film, path: str, sample_done: int):
+        """Film snapshot for resumable renders (the reference has none —
+        SURVEY.md §5 flags this as a required addition)."""
+        np.savez(path, rgb=np.asarray(film.rgb),
+                 weight=np.asarray(film.weight),
+                 splat=np.asarray(film.splat), aov=np.asarray(film.aov),
+                 sample_done=sample_done)
+
+    def load_checkpoint(self, path: str):
+        """Returns (film, next_sample_index)."""
+        z = np.load(path)
+        film = filmmod.Film(rgb=jnp.asarray(z["rgb"]),
+                            weight=jnp.asarray(z["weight"]),
+                            splat=jnp.asarray(z["splat"]),
+                            aov=jnp.asarray(z["aov"]))
+        return film, int(z["sample_done"])
+
+    def render_resumable(self, spp: int = None, checkpoint: str = None,
+                         every: int = 4, verbose: bool = False):
+        """Render with periodic film checkpoints; resumes if the file exists."""
+        import os
+
+        spp = spp or self.scene.sampler.spp
+        film, start = (self.load_checkpoint(checkpoint)
+                       if checkpoint and os.path.exists(checkpoint)
+                       else (filmmod.new_film(self.cfg.xres, self.cfg.yres), 0))
+        b = self.batch
+        for s in range(start, spp):
+            for k in range(self.n_batches):
+                sl = slice(k * b, (k + 1) * b)
+                film = self._step(film, jnp.uint32(s), self.px[sl],
+                                  self.py[sl], self.valid[sl])
+            if checkpoint and (s + 1) % every == 0:
+                jax.block_until_ready(film.rgb)
+                self.save_checkpoint(film, checkpoint, s + 1)
             if verbose:
                 print(f"  sample {s + 1}/{spp}", flush=True)
         return film

@@ -266,9 +266,14 @@ def upload(scene: FlatScene, bvh: BVHArrays = None,
     )
     env_h, env_w = ((scene.env_map.shape[0], scene.env_map.shape[1])
                     if scene.env_map is not None else (0, 0))
+    # wide-leaf prim counts (leaf-merged fat leaves; collapse_to_wide)
+    metas = wide_nodes[:, 48:56].view(np.int32)
+    leaf_metas = metas[(metas < 0) & (metas != -2**31)]
+    wide_max_leaf = (int(((-leaf_metas - 1) & 63).max())
+                     if leaf_metas.size else 1)
     statics = SceneStatics(
         n_tris=t.count, n_spheres=s.count, n_lights=n_lights,
-        max_leaf=int(bvh.count.max()) if bvh.n_nodes else 1,
+        max_leaf=max(wide_max_leaf, 1),
         n_nodes=bvh.n_nodes,
         n_wide_nodes=len(wide_nodes),
         env_w=env_w, env_h=env_h, env_light_id=scene.env_light_id,
