@@ -97,6 +97,40 @@ def test_rbsp_covers_all_prims():
     assert len(interior) > 0
 
 
+def test_bsp_family_covers_all_prims():
+    """Every BSP-family policy partitions all prims into leaves, and the
+    paper policy actually selects triangle-derived (non-axis) planes."""
+    from tpupt.native import build_bsp
+
+    rng = np.random.default_rng(3)
+    n = 80
+    v0 = rng.random((n, 3)) * 2 - 1
+    v1 = v0 + rng.normal(0, 0.15, (n, 3))
+    v2 = v0 + rng.normal(0, 0.15, (n, 3))
+    pts = np.zeros((n, 8, 3))
+    pts[:, 0], pts[:, 1], pts[:, 2] = v0, v1, v2
+    npts = np.full(n, 3, np.int32)
+    nrm = np.cross(v1 - v0, v2 - v0)
+    nrm /= np.maximum(np.linalg.norm(nrm, -1, keepdims=True), 1e-20)
+    lo = pts[:, :3].min(1).min(0) - 0.01
+    hi = pts[:, :3].max(1).max(0) + 0.01
+    for policy, kd_mode in [("cluster", ""), ("arbitrary", ""),
+                            ("random", ""), ("cluster", "withkd"),
+                            ("random", "fastkd"), ("paper", ""),
+                            ("paper", "fastkd")]:
+        out = build_bsp(pts, npts, nrm, lo, hi, policy=policy,
+                        kd_mode=kd_mode, k=4)
+        leaf = out["flags"] == 1
+        assert set(out["prim_ids"]) == set(range(n)), (policy, kd_mode)
+        # interior nodes carry unit split directions
+        nd = out["ndir"][~leaf]
+        if len(nd):
+            np.testing.assert_allclose(np.linalg.norm(nd, axis=1), 1.0,
+                                       atol=1e-5)
+        if policy == "paper":
+            assert out["n_bsp_nodes"] > 0  # non-axis planes chosen
+
+
 # ----------------------- traversal cross-validation ------------------------
 
 _SCENE = """
@@ -126,6 +160,11 @@ def _camera_rays(sc, ds, res=40):
 
 @pytest.mark.parametrize("accel,ndirs", [
     ("kdtree", None), ("rbsp", 3), ("rbsp", 7), ("rbsp", 13),
+    # unrestricted-BSP family: per-node direction policies
+    # (bspCluster/bspArbitrary/bspRandom[.WithKd/.FastKd], bspPaper[Kd])
+    ("bspcluster", 3), ("bsparbitrary", 4), ("bsprandom", 4),
+    ("bspclusterwithkd", 6), ("bsparbitraryfastkd", 6),
+    ("bsprandomwithkd", 6), ("bsppaper", None), ("bsppaperkd", None),
 ])
 def test_kdbsp_traversal_matches_bvh(accel, ndirs):
     sc = flatten(parse_string(_SCENE))

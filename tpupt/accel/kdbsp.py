@@ -52,17 +52,46 @@ def get_directions(n: int):
     return np.concatenate([axes, main_diag, edge_diag])
 
 
+def scene_prim_points(scene, lo, hi):
+    """Representative points + normals per primitive for the BSP-family
+    builders: triangle vertices (Triangle::getBounds(Vector3f) projects
+    vertices, triangle.cpp:661) and AABB corners for spheres; normals are
+    the per-prim geometric normals (Primitive::Normal(), primitive.h:72)."""
+    import numpy as np
+
+    t = scene.triangles
+    n_tri = t.count
+    n_total = len(lo)
+    pts = np.zeros((n_total, 8, 3))
+    npts = np.zeros(n_total, np.int32)
+    normals = np.zeros((n_total, 3))
+    if n_tri:
+        pts[:n_tri, 0] = t.p0
+        pts[:n_tri, 1] = t.p1
+        pts[:n_tri, 2] = t.p2
+        npts[:n_tri] = 3
+        nrm = np.cross(t.p1 - t.p0, t.p2 - t.p0)
+        nl = np.linalg.norm(nrm, axis=-1, keepdims=True)
+        normals[:n_tri] = nrm / np.maximum(nl, 1e-20)
+    if n_total > n_tri:
+        corners = np.stack(np.meshgrid(*[[0, 1]] * 3, indexing="ij"),
+                           -1).reshape(8, 3)
+        slo, shi = lo[n_tri:], hi[n_tri:]
+        pts[n_tri:] = slo[:, None, :] + corners[None] * (shi - slo)[:, None, :]
+        npts[n_tri:] = 8
+        normals[n_tri:] = np.array([1.0, 0.0, 0.0])
+    return pts, npts, normals
+
+
 def build_alt_accel(scene, name: str, params=None):
     """MakeAccelerator counterpart for the kd/BSP family (api.cpp:790-1016):
     build the requested tree with the native builders and return the flat
     node dict (jnp) + direction table. Returns None for BVH names."""
-    import warnings
-
     import jax.numpy as jnp
     import numpy as np
 
     from tpupt.accel.bvh import scene_prim_bounds
-    from tpupt.native import build_kdtree, build_rbsp
+    from tpupt.native import build_bsp, build_kdtree, build_rbsp
     from tpupt.scene.device import pack_prim_rows
 
     if name in ("bvh", "bvhold", "", None):
@@ -78,12 +107,46 @@ def build_alt_accel(scene, name: str, params=None):
     if name in ("kdtree", "kdtreeold"):
         out = build_kdtree(lo, hi, icost, tcost, ebonus, maxp, maxd)
         dirs = np.eye(3)
+    elif name.startswith("bsp"):
+        # unrestricted-BSP family with per-node direction policies
+        # (MakeAccelerator names api.cpp:847-1006): bsp{cluster,arbitrary,
+        # random}[withkd|fastkd], bsppaper, bsppaperkd
+        base = name[3:]
+        if base.startswith("paper"):
+            policy, kd_mode = "paper", ("fastkd" if base == "paperkd" else "")
+        else:
+            policy = next(q for q in ("cluster", "arbitrary", "random")
+                          if base.startswith(q))
+            kd_mode = base[len(policy):]
+        n_dirs = p.find_one_int("nbDirections", 3) if p else 3
+        tcost = p.find_one_float("traversalcost", 5.0) if p else 5.0
+        kd_tcost = p.find_one_float("kdtraversalcost", 1.0) if p else 1.0
+        ebonus = p.find_one_float("emptybonus", 0.0) if p else 0.0
+        pts, npts, normals = scene_prim_points(scene, lo, hi)
+        wlo, whi = scene.world_bounds()
+        out = build_bsp(pts, npts, normals, wlo, whi, policy=policy,
+                        kd_mode=kd_mode, k=n_dirs, isect_cost=icost,
+                        traversal_cost=tcost, kd_traversal_cost=kd_tcost,
+                        empty_bonus=ebonus, max_prims=maxp, max_depth=maxd)
+        prim_rows = pack_prim_rows(scene, out["prim_ids"])
+        max_leaf = int(out["nprims"].max()) if len(out["nprims"]) else 1
+        nodes = dict(
+            flags=jnp.asarray(out["flags"]),
+            split=jnp.asarray(out["split"]),
+            above=jnp.asarray(out["above"]),
+            nprims=jnp.asarray(out["nprims"]),
+            prim_ids=jnp.asarray(out["prim_ids"]),
+            prim_rows=jnp.asarray(prim_rows),
+            ndir=jnp.asarray(out["ndir"]),
+        )
+        stats = dict(n_nodes=out["n_nodes"],
+                     build_seconds=out["build_seconds"], max_leaf=max_leaf,
+                     n_leaves=int((out["flags"] == 1).sum()),
+                     n_kd_nodes=out["n_kd_nodes"],
+                     n_bsp_nodes=out["n_bsp_nodes"])
+        return nodes, jnp.eye(3, dtype=jnp.float32), max_leaf, stats
     else:
         n_dirs = p.find_one_int("nbDirections", 3) if p else 3
-        if name not in ("rbsp", "rbspkd"):
-            warnings.warn(f"accelerator {name!r}: using rbsp-{max(n_dirs, 13)} "
-                          "(per-node direction policies land in a later round)")
-            n_dirs = max(n_dirs, 13)
         dirs = get_directions(n_dirs)
         t = scene.triangles
         # per-prim projected bounds along every direction
@@ -125,6 +188,42 @@ def build_alt_accel(scene, name: str, params=None):
     return nodes, jnp.asarray(dirs.astype(np.float32)), max_leaf, stats
 
 
+def node_type_depth_maps(nodes, dirs):
+    """Node-type depth histograms (GenericBSP::writeNodeTypeDepthMaps,
+    genericBSP.h:132-152): {kd,bsp,leaf}NodeDepths as {depth: count}.
+    KD = axis-aligned split direction, BSP = arbitrary direction."""
+    import numpy as np
+
+    flags = np.asarray(nodes["flags"])
+    above = np.asarray(nodes["above"])
+    per_node = "ndir" in nodes
+    n_dirs = np.asarray(dirs).shape[0]
+    if per_node:
+        ndir = np.asarray(nodes["ndir"])
+        is_leaf = flags == 1
+        axis_aligned = (np.abs(ndir) > 1 - 1e-6).any(-1)
+    else:
+        is_leaf = flags >= n_dirs
+        axis_aligned = flags < 3  # first 3 table entries are the axes
+    maps = {"kdNodeDepths": {}, "bspNodeDepths": {}, "leafNodeDepths": {}}
+    if not len(flags):
+        return maps
+    stack = [(0, 0)]
+    while stack:
+        node, depth = stack.pop()
+        if is_leaf[node]:
+            m = maps["leafNodeDepths"]
+        elif axis_aligned[node]:
+            m = maps["kdNodeDepths"]
+        else:
+            m = maps["bspNodeDepths"]
+        m[depth] = m.get(depth, 0) + 1
+        if not is_leaf[node]:
+            stack.append((node + 1, depth + 1))
+            stack.append((int(above[node]), depth + 1))
+    return maps
+
+
 def intersect_kdbsp(nodes, dirs, ds, st, o, d, tmax, max_leaf: int,
                     any_hit: bool = False):
     """nodes: dict of jnp arrays (flags/split/above/first/count/prim_ids);
@@ -134,6 +233,10 @@ def intersect_kdbsp(nodes, dirs, ds, st, o, d, tmax, max_leaf: int,
     perm = ray_permutation(d)
     i32 = jnp.int32
     lane = jax.lax.broadcasted_iota(i32, (n, STACK_DEPTH), 1)
+
+    # unrestricted-BSP trees carry a full split direction per interior node
+    # (BSP.h:11-60); kd/RBSP trees index a small shared direction table
+    per_node = "ndir" in nodes
 
     # ray projections onto every direction (D small -> dense matmul, no
     # gathers; the kd fast path of rbspKd.cpp:69-90 falls out for free)
@@ -212,16 +315,21 @@ def intersect_kdbsp(nodes, dirs, ds, st, o, d, tmax, max_leaf: int,
         have = have & ~(s.t < tmin)
 
         fl = flags[node]
-        is_leaf = fl >= n_dirs
+        is_leaf = (fl == 1) if per_node else (fl >= n_dirs)
         active_int = have & ~is_leaf
         active_leaf = have & is_leaf
         nodes_v = s.nodes_v + active_int.astype(i32)
         leaves_v = s.leaves_v + active_leaf.astype(i32)
 
         # ---- interior: projected plane distance (rbsp.cpp:68-80) ----
-        didx = jnp.minimum(fl, n_dirs - 1)
-        op = jnp.take_along_axis(o_proj, didx[:, None], 1)[:, 0]
-        dp = jnp.take_along_axis(d_proj, didx[:, None], 1)[:, 0]
+        if per_node:
+            nd = nodes["ndir"][node]          # (N, 3) gather
+            op = jnp.sum(o * nd, -1)
+            dp = jnp.sum(d * nd, -1)
+        else:
+            didx = jnp.minimum(fl, n_dirs - 1)
+            op = jnp.take_along_axis(o_proj, didx[:, None], 1)[:, 0]
+            dp = jnp.take_along_axis(d_proj, didx[:, None], 1)[:, 0]
         sp_t = split[node]
         t_plane = (sp_t - op) / jnp.where(jnp.abs(dp) < 1e-12, 1e-12, dp)
         below_first = (op < sp_t) | ((op == sp_t) & (dp <= 0))

@@ -451,6 +451,7 @@ class Renderer:
             nodes, dirs, max_leaf, astats = build_alt_accel(
                 scene, accel, scene.accelerator_params)
             self.accel_stats = {"kind": accel, **astats}
+            self.accel_nodes, self.accel_dirs = nodes, dirs
             ds_, st_ = self.ds, self.st
 
             def isect(ds, st, o, d, tmax, any_hit=False):

@@ -60,6 +60,15 @@ def get_lib():
             ctypes.POINTER(_i32p), ctypes.POINTER(_f32p),
             ctypes.POINTER(_i32p), ctypes.POINTER(_i32p),
             ctypes.POINTER(_i32p), _i32p, _i32p, _f64p]
+        lib.tpb_build_bsp.argtypes = [
+            ctypes.c_int, _f64p, _i32p, _f64p, _f32p, _f32p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.c_int, ctypes.c_int, ctypes.c_uint32,
+            ctypes.POINTER(_i32p), ctypes.POINTER(_f32p),
+            ctypes.POINTER(_f32p), ctypes.POINTER(_i32p),
+            ctypes.POINTER(_i32p), ctypes.POINTER(_i32p),
+            _i32p, _i32p, _i32p, _i32p, _f64p]
         lib.tpb_polytope_cut_area.restype = ctypes.c_double
         lib.tpb_polytope_cut_area.argtypes = [
             _f32p, _f32p, ctypes.c_int, _f64p, _f64p]
@@ -178,6 +187,51 @@ def build_rbsp(dirs, proj_min, proj_max, world_lo, world_hi,
         nprims=_take(lib, o_np, nn, np.int32),
         prim_ids=_take(lib, o_pi, n_pi.value, np.int32),
         n_nodes=nn, n_dirs=n_dirs, dirs=dirs, build_seconds=bt.value,
+    )
+
+
+BSP_POLICIES = {"cluster": 0, "arbitrary": 1, "random": 2, "paper": 3}
+BSP_KD_MODES = {"": 0, "withkd": 1, "fastkd": 2}
+
+
+def build_bsp(pts, npts, normals, world_lo, world_hi, policy="cluster",
+              kd_mode="", k=3, isect_cost=80.0, traversal_cost=5.0,
+              kd_traversal_cost=1.0, empty_bonus=0.0, max_prims=1,
+              max_depth=-1, seed=1):
+    """Unrestricted-BSP family with per-node direction policies
+    (bspNodeBased.cpp / bspPaper.cpp parity). pts: (N,8,3) representative
+    points per prim; npts: (N,) valid count; normals: (N,3)."""
+    lib = get_lib()
+    pts = np.ascontiguousarray(pts, np.float64)
+    npts = np.ascontiguousarray(npts, np.int32)
+    normals = np.ascontiguousarray(normals, np.float64)
+    n = len(npts)
+    wlo = np.ascontiguousarray(world_lo, np.float32)
+    whi = np.ascontiguousarray(world_hi, np.float32)
+    o_fl, o_dir, o_sp = _i32p(), _f32p(), _f32p()
+    o_ab, o_np, o_pi = _i32p(), _i32p(), _i32p()
+    n_pi, n_nodes = ctypes.c_int32(), ctypes.c_int32()
+    n_kd, n_bsp = ctypes.c_int32(), ctypes.c_int32()
+    bt = ctypes.c_double()
+    lib.tpb_build_bsp(
+        n, _dp(pts), npts.ctypes.data_as(_i32p), _dp(normals), _fp(wlo),
+        _fp(whi), BSP_POLICIES[policy], BSP_KD_MODES[kd_mode], k,
+        isect_cost, traversal_cost, kd_traversal_cost, empty_bonus,
+        max_prims, max_depth, seed,
+        ctypes.byref(o_fl), ctypes.byref(o_dir), ctypes.byref(o_sp),
+        ctypes.byref(o_ab), ctypes.byref(o_np), ctypes.byref(o_pi),
+        ctypes.byref(n_pi), ctypes.byref(n_nodes), ctypes.byref(n_kd),
+        ctypes.byref(n_bsp), ctypes.byref(bt))
+    nn = n_nodes.value
+    return dict(
+        flags=_take(lib, o_fl, nn, np.int32),
+        ndir=_take(lib, o_dir, nn * 3, np.float32).reshape(-1, 3),
+        split=_take(lib, o_sp, nn, np.float32),
+        above=_take(lib, o_ab, nn, np.int32),
+        nprims=_take(lib, o_np, nn, np.int32),
+        prim_ids=_take(lib, o_pi, n_pi.value, np.int32),
+        n_nodes=nn, n_kd_nodes=n_kd.value, n_bsp_nodes=n_bsp.value,
+        build_seconds=bt.value,
     )
 
 

@@ -124,6 +124,16 @@ def main(argv=None):
 
         for k, v in aov.items():
             np.savetxt(f"{base}.{k}.txt", v, fmt="%.2f")
+        if hasattr(r, "accel_nodes"):
+            # node-type depth histograms next to the image
+            # (GenericBSP::writeNodeTypeDepthMaps, genericBSP.h:132)
+            from tpupt.accel.kdbsp import node_type_depth_maps
+
+            for name, m in node_type_depth_maps(r.accel_nodes,
+                                                r.accel_dirs).items():
+                with open(f"{base}-{name}.txt", "w") as f:
+                    for depth in sorted(m):
+                        f.write(f"{depth} {m[depth]}\n")
         if not args.quiet:
             print(f"wrote per-pixel stat matrices to {base}.*.txt")
     return 0
