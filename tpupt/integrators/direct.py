@@ -42,7 +42,9 @@ def direct_lighting_li(ds, st, sampler, max_depth, strategy,
             L = L + jnp.where((alive & ~hit.valid)[..., None], beta * inf_le, 0.0)
         alive = alive & hit.valid
 
-        mp = bx.gather_mat_params(ds, sp.mat)
+        mp = bx.gather_mat_params(ds, sp.mat, uv=sp.uv, p=sp.p,
+                                  has_textures=st.has_textures,
+                                  has_mix="mix" in st.mat_features)
         t_f, b_f, n_f = bx.make_frame(sp.ns)
         wo_l = bx.to_local(t_f, b_f, n_f, wo)
 
@@ -63,7 +65,7 @@ def direct_lighting_li(ds, st, sampler, max_depth, strategy,
                 u2 = sampler.dim(px, py, sample_idx, base + 2 + 2 * (li_idx or 0))
                 ls = sample_li(ds, st, lid, sp.p, u1, u2)
                 wi_l = bx.to_local(t_f, b_f, n_f, ls.wi)
-                f_l, pdf_b = bx.eval_pdf(mp, wo_l, wi_l)
+                f_l, pdf_b = bx.eval_pdf(mp, wo_l, wi_l, st.mat_features)
                 f_l = f_l * absdot(ls.wi, sp.ns)[..., None]
                 can = alive & (ls.pdf > 0.0) & (jnp.max(f_l, -1) > 0.0)
                 o_sh = offset_ray_origin(sp.p, sp.ng, ls.wi)
@@ -78,7 +80,7 @@ def direct_lighting_li(ds, st, sampler, max_depth, strategy,
         # specular continuation only (whitted-style)
         u_lobe = sampler.dim(px, py, sample_idx, base + 5)
         ub1 = sampler.dim(px, py, sample_idx, base + 6)
-        bs = bx.sample(mp, wo_l, u_lobe, ub1, ub1)
+        bs = bx.sample(mp, wo_l, u_lobe, ub1, ub1, st.mat_features)
         spec = bs.specular & alive
         wi_w = bx.to_world(t_f, b_f, n_f, bs.wi)
         thru = bs.f * (absdot(wi_w, sp.ns) / jnp.maximum(bs.pdf, 1e-9))[..., None]

@@ -312,7 +312,8 @@ def path_li(ds: DeviceScene, st: SceneStatics, sampler: WavefrontSampler,
 
         # ---- material gather + local frame ----
         mp = bx.gather_mat_params(ds, sp.mat, uv=sp.uv, p=sp.p,
-                                  has_textures=st.has_textures)
+                                  has_textures=st.has_textures,
+                                  has_mix="mix" in st.mat_features)
         t_f, b_f, n_f = bx.make_frame(sp.ns)
         wo_l = bx.to_local(t_f, b_f, n_f, wo)
 
@@ -323,7 +324,7 @@ def path_li(ds: DeviceScene, st: SceneStatics, sampler: WavefrontSampler,
             pmf = ds.light_pdf[lid]
             ls = sample_li(ds, st, lid, sp.p, ub[1], ub[2])
             wi_l = bx.to_local(t_f, b_f, n_f, ls.wi)
-            f_l, pdf_b = bx.eval_pdf(mp, wo_l, wi_l)
+            f_l, pdf_b = bx.eval_pdf(mp, wo_l, wi_l, st.mat_features)
             f_l = f_l * absdot(ls.wi, sp.ns)[..., None]
             can = alive & (ls.pdf > 0.0) & (jnp.max(f_l, -1) > 0.0)
             # shadow ray (VisibilityTester::Unoccluded, light.h:99)
@@ -340,7 +341,7 @@ def path_li(ds: DeviceScene, st: SceneStatics, sampler: WavefrontSampler,
             L = L + jnp.where((can & ~occluded)[..., None], contrib, 0.0)
 
         # ---- BSDF sampling (path.cpp:144-160) ----
-        bs = bx.sample(mp, wo_l, ub[3], ub[4], ub[5])
+        bs = bx.sample(mp, wo_l, ub[3], ub[4], ub[5], st.mat_features)
         wi_w = bx.to_world(t_f, b_f, n_f, bs.wi)
         cos_w = absdot(wi_w, sp.ns)
         ok = bs.pdf > 1e-9

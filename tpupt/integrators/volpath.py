@@ -122,7 +122,8 @@ def volpath_li(ds, st, sampler, medium: MediumParams, max_depth: int,
 
         # ---- material / frames for surface lanes ----
         mp = bx.gather_mat_params(ds, sp.mat, uv=sp.uv, p=sp.p,
-                                  has_textures=st.has_textures)
+                                  has_textures=st.has_textures,
+                                  has_mix="mix" in st.mat_features)
         t_f, b_f, n_f = bx.make_frame(sp.ns)
         wo_l = bx.to_local(t_f, b_f, n_f, wo)
 
@@ -134,7 +135,7 @@ def volpath_li(ds, st, sampler, medium: MediumParams, max_depth: int,
             ls = sample_li(ds, st, lid, p_vertex, ub[1], ub[2])
             # surface: BSDF eval; medium: phase value
             wi_l = bx.to_local(t_f, b_f, n_f, ls.wi)
-            f_s, pdf_b = bx.eval_pdf(mp, wo_l, wi_l)
+            f_s, pdf_b = bx.eval_pdf(mp, wo_l, wi_l, st.mat_features)
             f_s = f_s * absdot(ls.wi, sp.ns)[..., None]
             ph = hg_phase(jnp.sum(wo * ls.wi, -1), medium.g)
             f_l = jnp.where(interacted[..., None],
@@ -152,7 +153,7 @@ def volpath_li(ds, st, sampler, medium: MediumParams, max_depth: int,
             L = L + jnp.where((can & ~occ)[..., None], contrib, 0.0)
 
         # ---- continuation: phase sample (medium) or BSDF sample ----
-        bs = bx.sample(mp, wo_l, ub[3], ub[4], ub[5])
+        bs = bx.sample(mp, wo_l, ub[3], ub[4], ub[5], st.mat_features)
         wi_surf = bx.to_world(t_f, b_f, n_f, bs.wi)
         cos_w = absdot(wi_surf, sp.ns)
         ok_s = bs.pdf > 1e-9

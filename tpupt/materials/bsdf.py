@@ -33,7 +33,8 @@ from tpupt.core.vecmath import coordinate_system, dot, normalize
 INV_PI = 0.3183098861837907
 
 (MAT_MATTE, MAT_PLASTIC, MAT_MIRROR, MAT_GLASS, MAT_METAL, MAT_UBER,
- MAT_SUBSTRATE, MAT_TRANSLUCENT, MAT_NONE) = range(9)
+ MAT_SUBSTRATE, MAT_TRANSLUCENT, MAT_NONE, MAT_DISNEY, MAT_HAIR,
+ MAT_MIX) = range(12)
 
 
 class MatParams(NamedTuple):
@@ -50,6 +51,11 @@ class MatParams(NamedTuple):
     k: jnp.ndarray         # (N,3)
     sigma_a: jnp.ndarray   # (N,) oren-nayar A
     sigma_b: jnp.ndarray   # (N,) oren-nayar B
+    extra: jnp.ndarray     # (N,8) material-specific scalars (flatten.py)
+    rough: jnp.ndarray     # (N,) unremapped roughness (disney/hair)
+    h: jnp.ndarray         # (N,) hair fiber offset in [-1,1] (from uv.y)
+    mix_a: object = None   # child MatParams when the scene has mix materials
+    mix_b: object = None
 
 
 class BsdfSample(NamedTuple):
@@ -67,10 +73,22 @@ def roughness_to_alpha(r):
     return 1.62142 + 0.819955 * x + 0.1734 * x * x + 0.0171201 * x**3 + 0.000640711 * x**4
 
 
-def gather_mat_params(ds, mat_id, uv=None, p=None, has_textures=False):
+def gather_mat_params(ds, mat_id, uv=None, p=None, has_textures=False,
+                      has_mix=False):
     """Gather + preprocess material rows for a hit batch. When `uv`/`p`
     are given and the scene has non-constant textures, kd/ks are evaluated
-    per hit (Material::ComputeScatteringFunctions texture evaluation)."""
+    per hit (Material::ComputeScatteringFunctions texture evaluation).
+    `has_mix` (static) additionally gathers both mix children
+    (MixMaterial::ComputeScatteringFunctions, mixmat.cpp:44 — one level)."""
+    if has_mix:
+        is_mix = ds.mat_type[mat_id] == MAT_MIX
+        extra = ds.mat_extra[mat_id]
+        c1 = jnp.where(is_mix, extra[:, 1].astype(jnp.int32), mat_id)
+        c2 = jnp.where(is_mix, extra[:, 2].astype(jnp.int32), mat_id)
+        mp = gather_mat_params(ds, mat_id, uv, p, has_textures)
+        return mp._replace(
+            mix_a=gather_mat_params(ds, c1, uv, p, has_textures),
+            mix_b=gather_mat_params(ds, c2, uv, p, has_textures))
     rough = ds.mat_roughness[mat_id]
     ur = ds.mat_urough[mat_id]
     vr = ds.mat_vrough[mat_id]
@@ -104,6 +122,10 @@ def gather_mat_params(ds, mat_id, uv=None, p=None, has_textures=False):
         eta=ds.mat_eta[mat_id], k=ds.mat_k[mat_id],
         sigma_a=1.0 - s2 / (2.0 * (s2 + 0.33)),
         sigma_b=0.45 * s2 / (s2 + 0.09),
+        extra=ds.mat_extra[mat_id],
+        rough=rough,
+        h=(jnp.clip(-1.0 + 2.0 * uv[..., 1], -1.0, 1.0) if uv is not None
+           else jnp.zeros_like(rough)),
     )
 
 
@@ -244,6 +266,175 @@ def tr_pdf(wo, wh, ax, ay):
             * jnp.abs(dot(wo, wh)) / jnp.maximum(abs_cos_theta(wo), 1e-8))
 
 
+# ----------------------------- Beckmann ------------------------------------
+# (microfacet.cpp BeckmannDistribution — the reference's second distribution;
+# used by bsdftest-style validation and available to materials)
+
+
+def beckmann_d(wh, ax, ay):
+    c2 = wh[..., 2] * wh[..., 2]
+    s2 = jnp.maximum(0.0, 1.0 - c2)
+    tan2 = s2 / jnp.maximum(c2, 1e-12)
+    cos_phi2 = jnp.where(s2 > 1e-12, wh[..., 0] ** 2 / jnp.maximum(s2, 1e-12), 1.0)
+    sin_phi2 = jnp.where(s2 > 1e-12, wh[..., 1] ** 2 / jnp.maximum(s2, 1e-12), 0.0)
+    e = jnp.exp(-tan2 * (cos_phi2 / (ax * ax) + sin_phi2 / (ay * ay)))
+    return jnp.where(c2 > 1e-12,
+                     e / (jnp.pi * ax * ay * c2 * c2), 0.0)
+
+
+def beckmann_lambda(w, ax, ay):
+    c = jnp.abs(w[..., 2])
+    s2 = jnp.maximum(0.0, 1.0 - c * c)
+    s = jnp.sqrt(s2)
+    cos_phi2 = jnp.where(s > 1e-8, (w[..., 0] / jnp.maximum(s, 1e-8)) ** 2, 1.0)
+    sin_phi2 = jnp.where(s > 1e-8, (w[..., 1] / jnp.maximum(s, 1e-8)) ** 2, 0.0)
+    alpha = jnp.sqrt(cos_phi2 * ax * ax + sin_phi2 * ay * ay)
+    abs_tan = s / jnp.maximum(c, 1e-12)
+    a = 1.0 / jnp.maximum(alpha * abs_tan, 1e-12)
+    lam = (1.0 - 1.259 * a + 0.396 * a * a) / (3.535 * a + 2.181 * a * a)
+    return jnp.where(a >= 1.6, 0.0, lam)
+
+
+def beckmann_g(wo, wi, ax, ay):
+    return 1.0 / (1.0 + beckmann_lambda(wo, ax, ay) + beckmann_lambda(wi, ax, ay))
+
+
+def beckmann_sample_wh(wo, u1, u2, ax, ay):
+    """Full-distribution Beckmann sampling (isotropic log-space inversion;
+    microfacet.cpp BeckmannDistribution::Sample_wh non-visible branch)."""
+    log_u = jnp.log(jnp.maximum(1.0 - u1, 1e-20))
+    phi = u2 * 2.0 * jnp.pi
+    # anisotropic tangent rotation
+    tan2 = -ax * ay * log_u / (
+        jnp.cos(phi) ** 2 * ay / jnp.maximum(ax, 1e-12)
+        + jnp.sin(phi) ** 2 * ax / jnp.maximum(ay, 1e-12))
+    c = 1.0 / jnp.sqrt(1.0 + tan2)
+    s = jnp.sqrt(jnp.maximum(0.0, 1.0 - c * c))
+    wh = jnp.stack([s * jnp.cos(phi), s * jnp.sin(phi), c], -1)
+    return jnp.where((wo[..., 2] < 0.0)[..., None], -wh, wh)
+
+
+def beckmann_pdf(wo, wh, ax, ay):
+    return beckmann_d(wh, ax, ay) * jnp.abs(wh[..., 2])
+
+
+# ------------------------------ Disney --------------------------------------
+# (materials/disney.cpp — diffuse + retro-reflection + sheen + GTR1 clearcoat
+# + anisotropic GGX specular with the Disney Fresnel blend; the specTrans /
+# thin / diffTrans lobes are documented as not-yet in COMPONENTS.md)
+
+
+def _pow5(x):
+    return x * x * x * x * x
+
+
+def _schlick_weight(c):
+    return _pow5(jnp.clip(1.0 - c, 0.0, 1.0))
+
+
+def _disney_alphas(mp: MatParams):
+    aniso = mp.extra[..., 6]
+    aspect = jnp.sqrt(1.0 - 0.9 * aniso)
+    r2 = mp.rough * mp.rough
+    ax = jnp.maximum(0.001, r2 / aspect)
+    ay = jnp.maximum(0.001, r2 * aspect)
+    return ax, ay
+
+
+def _disney_f(mp: MatParams, wo, wi):
+    """Sum of the Disney lobes (disney.cpp DisneyDiffuse/DisneyRetro/
+    DisneySheen/DisneyClearcoat/MicrofacetReflection-with-DisneyFresnel)."""
+    metallic = mp.extra[..., 0]
+    sheen_w = mp.extra[..., 1]
+    sheen_tint = mp.extra[..., 2]
+    spec_tint = mp.extra[..., 3]
+    clearcoat = mp.extra[..., 4]
+    cc_gloss = mp.extra[..., 5]
+    eta1 = mp.eta[..., 0]
+    c = mp.kd
+    lum = jnp.maximum(_lum3(c), 1e-8)
+    ctint = c / lum[..., None]
+
+    ci = abs_cos_theta(wi)
+    co = abs_cos_theta(wo)
+    wh = wi + wo
+    wh_len = jnp.sqrt(jnp.maximum(dot(wh, wh), 1e-20))
+    whn = wh / wh_len[..., None]
+    cos_d = dot(wi, whn)  # cosThetaD
+
+    fo = _schlick_weight(co)
+    fi = _schlick_weight(ci)
+
+    # diffuse (Fresnel-weighted, no retro) + retro-reflection
+    diff = c * (INV_PI * (1.0 - fo / 2.0) * (1.0 - fi / 2.0))[..., None]
+    rr = 2.0 * mp.rough * cos_d * cos_d
+    retro = c * (INV_PI * rr * (fo + fi + fo * fi * (rr - 1.0)))[..., None]
+    # sheen
+    csheen = (1.0 - sheen_tint)[..., None] + sheen_tint[..., None] * ctint
+    sheen = sheen_w[..., None] * csheen * _schlick_weight(cos_d)[..., None]
+    diffuse_all = ((1.0 - metallic)[..., None]
+                   * (diff + retro + sheen))
+
+    # specular: GGX aniso with Disney Fresnel (dielectric<->schlick blend)
+    ax, ay = _disney_alphas(mp)
+    r0 = ((eta1 - 1.0) / (eta1 + 1.0)) ** 2
+    cspec0 = (r0 * (1.0 - metallic))[..., None] * (
+        (1.0 - spec_tint)[..., None] + spec_tint[..., None] * ctint) \
+        + metallic[..., None] * c
+    fr_d = fr_dielectric(cos_d, eta1)[..., None]
+    f_schlick = cspec0 + (1.0 - cspec0) * _schlick_weight(cos_d)[..., None]
+    F = (1.0 - metallic)[..., None] * fr_d + metallic[..., None] * f_schlick
+    d_spec = tr_d(whn, ax, ay)
+    g_spec = tr_g(wo, wi, ax, ay)
+    spec = F * (d_spec * g_spec / jnp.maximum(4.0 * ci * co, 1e-8))[..., None]
+
+    # clearcoat: GTR1 with fixed F0 = 0.04 and Smith G(0.25)
+    gloss = (1.0 - cc_gloss) * 0.1 + cc_gloss * 0.001  # lerp(gloss, .1, .001)
+    a2 = gloss * gloss
+    c2 = whn[..., 2] * whn[..., 2]
+    dcc = (a2 - 1.0) / (jnp.pi * jnp.log(jnp.maximum(a2, 1e-12))
+                        * jnp.maximum(1.0 + (a2 - 1.0) * c2, 1e-12))
+    fcc = 0.04 + 0.96 * _schlick_weight(cos_d)
+    gcc = (1.0 / (1.0 + tr_lambda(wo, 0.25, 0.25))
+           * 1.0 / (1.0 + tr_lambda(wi, 0.25, 0.25)))
+    cc = (clearcoat * 0.25 * dcc * fcc * gcc
+          / jnp.maximum(4.0 * ci * co, 1e-8))[..., None]
+
+    ok = (ci > 1e-6) & (co > 1e-6) & (wh_len > 1e-8) & same_hemisphere(wo, wi)
+    return jnp.where(ok[..., None], diffuse_all + spec + cc, 0.0)
+
+
+def _disney_pdf(mp: MatParams, wo, wi):
+    """Average of the lobe pdfs with the lobe-selection weights used in
+    sample(): diffuse / GGX VNDF / GTR1-in-proportion-to-clearcoat."""
+    metallic = mp.extra[..., 0]
+    clearcoat = mp.extra[..., 4]
+    ax, ay = _disney_alphas(mp)
+    p_diff = _cosine_pdf(wo, wi)
+    p_spec = _mf_pdf(wo, wi, ax, ay)
+    # GTR1 pdf (clearcoat samples full distribution: pdf = D*|cos|/(4 cos_d))
+    wh = wi + wo
+    wh_len = jnp.sqrt(jnp.maximum(dot(wh, wh), 1e-20))
+    whn = wh / wh_len[..., None]
+    gloss = (1.0 - mp.extra[..., 5]) * 0.1 + mp.extra[..., 5] * 0.001
+    a2 = gloss * gloss
+    c2 = whn[..., 2] * whn[..., 2]
+    dcc = (a2 - 1.0) / (jnp.pi * jnp.log(jnp.maximum(a2, 1e-12))
+                        * jnp.maximum(1.0 + (a2 - 1.0) * c2, 1e-12))
+    p_cc = jnp.where(same_hemisphere(wo, wi) & (wh_len > 1e-8),
+                     dcc * jnp.abs(whn[..., 2])
+                     / jnp.maximum(4.0 * jnp.abs(dot(wo, whn)), 1e-8), 0.0)
+    wd, ws, wc = _disney_lobe_weights(metallic, clearcoat)
+    return wd * p_diff + ws * p_spec + wc * p_cc
+
+
+def _disney_lobe_weights(metallic, clearcoat):
+    wd = (1.0 - metallic) * 0.5
+    wc = jnp.clip(clearcoat, 0.0, 1.0) * 0.25 * (1.0 - wd)
+    ws = 1.0 - wd - wc
+    return wd, ws, wc
+
+
 # --------------------------- lobe helpers ----------------------------------
 
 
@@ -313,9 +504,11 @@ def _mf_pdf(wo, wi, ax, ay):
 # ------------------------------ eval/pdf -----------------------------------
 
 
-def eval_pdf(mp: MatParams, wo, wi):
+def eval_pdf(mp: MatParams, wo, wi, features=frozenset()):
     """(f, pdf) of the non-delta components — used for NEE/MIS
-    (BSDF::f + BSDF::Pdf, reflection.cpp:576-640)."""
+    (BSDF::f + BSDF::Pdf, reflection.cpp:576-640). `features` is a STATIC
+    set of expensive material families present in the scene ("disney",
+    "hair", "mix") so scenes without them pay nothing."""
     eta1 = mp.eta[..., 0]
     refl = same_hemisphere(wo, wi)
 
@@ -349,17 +542,37 @@ def eval_pdf(mp: MatParams, wo, wi):
     t = mp.type
     f = jnp.zeros_like(mp.kd)
     pdf = jnp.zeros_like(matte_pdf)
-    for tid, tf, tp in (
+    lobes = [
         (MAT_MATTE, matte_f, matte_pdf),
         (MAT_PLASTIC, plastic_f, plastic_pdf),
         (MAT_METAL, metal_f, metal_pdf),
         (MAT_UBER, plastic_f, plastic_pdf),
         (MAT_SUBSTRATE, sub_f, sub_pdf),
         (MAT_TRANSLUCENT, transl_f, transl_pdf),
-    ):
+    ]
+    if "disney" in features:
+        lobes.append((MAT_DISNEY, _disney_f(mp, wo, wi),
+                      _disney_pdf(mp, wo, wi)))
+    if "hair" in features:
+        from tpupt.materials.hair import hair_f_pdf
+
+        hf, hp = hair_f_pdf(mp, wo, wi)
+        lobes.append((MAT_HAIR, hf, hp))
+    for tid, tf, tp in lobes:
         sel = t == tid
         f = jnp.where(sel[..., None], tf, f)
         pdf = jnp.where(sel, tp, pdf)
+    if "mix" in features and mp.mix_a is not None:
+        # MixMaterial: amount-scaled sum of the children's BxDFs
+        # (mixmat.cpp:44-60); pdf mixes by the amount luminance
+        sub = features - {"mix"}
+        f1, p1 = eval_pdf(mp.mix_a, wo, wi, sub)
+        f2, p2 = eval_pdf(mp.mix_b, wo, wi, sub)
+        amt = mp.kd
+        q = mp.extra[..., 0]
+        sel = t == MAT_MIX
+        f = jnp.where(sel[..., None], amt * f1 + (1.0 - amt) * f2, f)
+        pdf = jnp.where(sel, q * p1 + (1.0 - q) * p2, pdf)
     # mirror/glass/none: delta only -> f = 0, pdf = 0
     return f, pdf
 
@@ -376,8 +589,9 @@ def _lum3(c):
 # ------------------------------ sampling -----------------------------------
 
 
-def sample(mp: MatParams, wo, u_lobe, u1, u2):
-    """BSDF::Sample_f counterpart: (BsdfSample). All local-frame."""
+def sample(mp: MatParams, wo, u_lobe, u1, u2, features=frozenset()):
+    """BSDF::Sample_f counterpart: (BsdfSample). All local-frame.
+    `features`: static material-family set, see eval_pdf."""
     n = wo.shape[0]
     eta1 = mp.eta[..., 0]
     sign_o = jnp.where(cos_theta(wo) >= 0.0, 1.0, -1.0)
@@ -427,9 +641,7 @@ def sample(mp: MatParams, wo, u_lobe, u1, u2):
     # NONE: pass-through
     wi_none = -wo
 
-    wi = wi_diff
-    specular = jnp.zeros(n, bool)
-    for tid, w, sflag in (
+    wi_cands = [
         (MAT_PLASTIC, wi_pl, False),
         (MAT_UBER, wi_pl, False),
         (MAT_SUBSTRATE, wi_pl, False),
@@ -438,14 +650,52 @@ def sample(mp: MatParams, wo, u_lobe, u1, u2):
         (MAT_GLASS, wi_glass, True),
         (MAT_TRANSLUCENT, wi_tr, False),
         (MAT_NONE, wi_none, True),
-    ):
+    ]
+    if "disney" in features:
+        # lobe choice: diffuse / GGX-aniso VNDF / GTR1 clearcoat
+        dax, day = _disney_alphas(mp)
+        wh_d = tr_sample_wh(wo, u1, u2, dax, day)
+        wi_dspec = -wo + 2.0 * dot(wo, wh_d)[..., None] * wh_d
+        gloss = (1.0 - mp.extra[..., 5]) * 0.1 + mp.extra[..., 5] * 0.001
+        a2 = jnp.maximum(gloss * gloss, 1e-8)
+        ct2 = (1.0 - jnp.power(a2, 1.0 - u1)) / jnp.maximum(1.0 - a2, 1e-6)
+        ct = jnp.sqrt(jnp.clip(ct2, 0.0, 1.0))
+        st = jnp.sqrt(jnp.maximum(0.0, 1.0 - ct * ct))
+        phi_cc = 2.0 * jnp.pi * u2
+        wh_cc = jnp.stack([st * jnp.cos(phi_cc), st * jnp.sin(phi_cc), ct], -1)
+        wh_cc = jnp.where((cos_theta(wo) < 0)[..., None], -wh_cc, wh_cc)
+        wi_cc = -wo + 2.0 * dot(wo, wh_cc)[..., None] * wh_cc
+        wd, ws, wc = _disney_lobe_weights(mp.extra[..., 0], mp.extra[..., 4])
+        wi_disney = jnp.where((u_lobe < wd)[..., None], wi_diff,
+                              jnp.where((u_lobe < wd + ws)[..., None],
+                                        wi_dspec, wi_cc))
+        wi_cands.append((MAT_DISNEY, wi_disney, False))
+    if "hair" in features:
+        from tpupt.materials.hair import hair_sample
+
+        wi_hair = hair_sample(mp, wo, u_lobe, u1, u2)
+        wi_cands.append((MAT_HAIR, wi_hair, False))
+    if "mix" in features and mp.mix_a is not None:
+        q = mp.extra[..., 0]
+        pick1 = u_lobe < q
+        u_re = jnp.where(pick1, u_lobe / jnp.maximum(q, 1e-8),
+                         (u_lobe - q) / jnp.maximum(1.0 - q, 1e-8))
+        sub = features - {"mix"}
+        s1 = sample(mp.mix_a, wo, u_re, u1, u2, sub)
+        s2 = sample(mp.mix_b, wo, u_re, u1, u2, sub)
+        wi_mix = jnp.where(pick1[..., None], s1.wi, s2.wi)
+        wi_cands.append((MAT_MIX, wi_mix, False))
+
+    wi = wi_diff
+    specular = jnp.zeros(n, bool)
+    for tid, w, sflag in wi_cands:
         sel = t == tid
         wi = jnp.where(sel[..., None], w, wi)
         specular = jnp.where(sel, sflag, specular)
     wi = normalize(wi)
 
     # non-delta materials: f/pdf via eval
-    f_nd, pdf_nd = eval_pdf(mp, wo, wi)
+    f_nd, pdf_nd = eval_pdf(mp, wo, wi, features)
 
     # delta materials: explicit f/pdf
     aci = jnp.maximum(abs_cos_theta(wi), 1e-8)
@@ -474,6 +724,18 @@ def sample(mp: MatParams, wo, u_lobe, u1, u2):
         sel = t == tid
         f = jnp.where(sel[..., None], tf, f)
         pdf = jnp.where(sel, tp, pdf)
+    if "mix" in features and mp.mix_a is not None:
+        # chosen mix child sampled a delta lobe: one-sample estimator with
+        # the child's own f/pdf, amount-scaled (ScaledBxDF, reflection.h:130)
+        amt_c = jnp.where(pick1[..., None], mp.kd, 1.0 - mp.kd)
+        q_c = jnp.where(pick1, q, 1.0 - q)
+        f_c = jnp.where(pick1[..., None], s1.f, s2.f)
+        pdf_c = jnp.where(pick1, s1.pdf, s2.pdf)
+        spec_c = jnp.where(pick1, s1.specular, s2.specular)
+        sel = (t == MAT_MIX) & spec_c
+        f = jnp.where(sel[..., None], amt_c * f_c, f)
+        pdf = jnp.where(sel, q_c * pdf_c, pdf)
+        specular = jnp.where(sel, True, specular)
 
     # eta_scale for russian roulette (path.cpp:193-199): cancels the eta^2
     # radiance compression in beta so RR sees the undistorted throughput —
@@ -481,6 +743,9 @@ def sample(mp: MatParams, wo, u_lobe, u1, u2):
     is_glass_trans = (t == MAT_GLASS) & ~choose_refl & ~tir
     eta_scale = jnp.where(
         is_glass_trans, 1.0 / jnp.maximum(eta_ratio * eta_ratio, 1e-12), 1.0)
+    if "mix" in features and mp.mix_a is not None:
+        eta_mix = jnp.where(pick1, s1.eta_scale, s2.eta_scale)
+        eta_scale = jnp.where(t == MAT_MIX, eta_mix, eta_scale)
 
     return BsdfSample(wi=wi, f=f, pdf=pdf, specular=specular,
                       eta_scale=eta_scale)

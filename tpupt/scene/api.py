@@ -115,6 +115,7 @@ class SceneDescription:
     integrator_params: ParamSet = field(default_factory=ParamSet)
     accelerator_name: str = "bvh"
     accelerator_params: ParamSet = field(default_factory=ParamSet)
+    named_materials: Dict[str, "MaterialSpec"] = field(default_factory=dict)
 
 
 _START, _END = 0, 1  # animated transform slots (MaxTransforms == 2)
@@ -132,11 +133,11 @@ class SceneBuilder:
         self.gs = GraphicsState()
         self.gs_stack: List[GraphicsState] = []
         self.coord_systems: Dict[str, List[Transform]] = {}
-        self.named_materials: Dict[str, MaterialSpec] = {}
         self.current_object: Optional[str] = None
         self.transform_start_time = 0.0
         self.transform_end_time = 1.0
         self.out = SceneDescription()
+        self.named_materials = self.out.named_materials
 
     # --- transform helpers ---
 

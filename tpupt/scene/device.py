@@ -12,7 +12,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpupt.accel.bvh import BVHArrays, build_bvh, scene_prim_bounds
-from tpupt.scene.flatten import FlatScene
+from tpupt.scene.flatten import MAT_DISNEY, MAT_HAIR, MAT_MIX, FlatScene
 
 
 class DeviceScene(NamedTuple):
@@ -65,6 +65,7 @@ class DeviceScene(NamedTuple):
     mat_k: jnp.ndarray
     mat_sigma: jnp.ndarray
     mat_remap: jnp.ndarray
+    mat_extra: jnp.ndarray
     # lights
     light_type: jnp.ndarray
     light_L: jnp.ndarray
@@ -117,6 +118,10 @@ class SceneStatics(NamedTuple):
     env_h: int = 0
     env_light_id: int = -1
     has_textures: bool = False
+    # static set of expensive material families present in the scene
+    # ("disney" / "hair" / "mix") — gates their lobes out of the compiled
+    # BSDF dispatch for scenes that don't use them
+    mat_features: frozenset = frozenset()
 
 
 def pack_prim_rows(scene: FlatScene, prim_ids: np.ndarray) -> np.ndarray:
@@ -248,6 +253,7 @@ def upload(scene: FlatScene, bvh: BVHArrays = None,
         mat_urough=jnp.asarray(m.urough), mat_vrough=jnp.asarray(m.vrough),
         mat_eta=jnp.asarray(m.eta), mat_k=jnp.asarray(m.k),
         mat_sigma=jnp.asarray(m.sigma), mat_remap=jnp.asarray(m.remap_roughness),
+        mat_extra=jnp.asarray(m.extra),
         light_type=jnp.asarray(_pad1(lt.type)),
         light_L=jnp.asarray(_pad1(lt.L)),
         light_pos=jnp.asarray(_pad1(lt.pos)),
@@ -279,6 +285,10 @@ def upload(scene: FlatScene, bvh: BVHArrays = None,
         env_w=env_w, env_h=env_h, env_light_id=scene.env_light_id,
         has_textures=bool(
             (m.kd_tex >= 0).any() or (m.ks_tex >= 0).any()),
+        mat_features=frozenset(
+            name for name, tid in (("disney", MAT_DISNEY),
+                                   ("hair", MAT_HAIR), ("mix", MAT_MIX))
+            if (m.type == tid).any()),
     )
     return ds, statics
 

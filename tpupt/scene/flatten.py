@@ -25,14 +25,16 @@ from tpupt.scene.plyio import read_ply
 
 # --- enums (device-side type ids) ---
 
-MAT_MATTE, MAT_PLASTIC, MAT_MIRROR, MAT_GLASS, MAT_METAL, MAT_UBER, \
-    MAT_SUBSTRATE, MAT_TRANSLUCENT, MAT_NONE = range(9)
+(MAT_MATTE, MAT_PLASTIC, MAT_MIRROR, MAT_GLASS, MAT_METAL, MAT_UBER,
+ MAT_SUBSTRATE, MAT_TRANSLUCENT, MAT_NONE, MAT_DISNEY, MAT_HAIR,
+ MAT_MIX) = range(12)
 
 _MATERIAL_IDS = {
     "matte": MAT_MATTE, "plastic": MAT_PLASTIC, "mirror": MAT_MIRROR,
     "glass": MAT_GLASS, "metal": MAT_METAL, "uber": MAT_UBER,
     "substrate": MAT_SUBSTRATE, "translucent": MAT_TRANSLUCENT,
-    "none": MAT_NONE, "": MAT_NONE,
+    "none": MAT_NONE, "": MAT_NONE, "disney": MAT_DISNEY,
+    "hair": MAT_HAIR, "mix": MAT_MIX,
 }
 
 LIGHT_POINT, LIGHT_DISTANT, LIGHT_AREA, LIGHT_INFINITE, LIGHT_SPOT = range(5)
@@ -110,6 +112,11 @@ class Materials:
     remap_roughness: np.ndarray  # (M,) bool
     kd_tex: np.ndarray  # (M,) i32 texture id, -1 = constant kd
     ks_tex: np.ndarray
+    extra: np.ndarray  # (M,8) material-specific scalars:
+    #   disney: metallic, sheen, sheenTint, specTint, clearcoat,
+    #           clearcoatGloss, anisotropic  (disney.cpp params)
+    #   hair:   beta_m, beta_n, alpha_deg    (hair.cpp params)
+    #   mix:    amount_luminance, child1 id, child2 id (mixmat.cpp)
 
     @property
     def count(self) -> int:
@@ -279,9 +286,10 @@ class _MaterialTable:
     registered in the scene TextureTable and referenced by id for per-hit
     evaluation (textures/textures.py)."""
 
-    def __init__(self, textures: Dict, tex_table=None):
+    def __init__(self, textures: Dict, tex_table=None, named_materials=None):
         self.textures = textures
         self.tex_table = tex_table
+        self.named_materials = named_materials
         self.rows: List[dict] = []
         self.cache: Dict = {}
 
@@ -300,8 +308,9 @@ class _MaterialTable:
         if key in self.cache:
             return self.cache[key]
         mid = len(self.rows)
-        self.rows.append(self._make_row(spec))
+        self.rows.append(None)  # reserve the slot: mix recurses into add()
         self.cache[key] = mid
+        self.rows[mid] = self._make_row(spec)
         return mid
 
     def _make_row(self, spec: MaterialSpec) -> dict:
@@ -317,7 +326,7 @@ class _MaterialTable:
             ks=np.zeros(3), kr=np.zeros(3), kt=np.zeros(3),
             roughness=0.0, urough=-1.0, vrough=-1.0,
             eta=np.full(3, 1.5), k=np.zeros(3), sigma=0.0,
-            remap=True, kd_tex=-1, ks_tex=-1,
+            remap=True, kd_tex=-1, ks_tex=-1, extra=np.zeros(8),
         )
         row["kd_tex"] = self._tex_id(p, "Kd")
         row["ks_tex"] = self._tex_id(p, "Ks")
@@ -364,6 +373,68 @@ class _MaterialTable:
             row["kr"] = _resolve_spectrum(p, "reflect", [0.5] * 3, self.textures, ctx)
             row["kt"] = _resolve_spectrum(p, "transmit", [0.5] * 3, self.textures, ctx)
             row["roughness"] = _resolve_float(p, "roughness", 0.1, self.textures, ctx)
+        elif t == MAT_DISNEY:
+            # disney.cpp CreateDisneyMaterial parameter set (subset: no
+            # specTrans/thin/diffTrans — documented in COMPONENTS.md)
+            row["kd"] = _resolve_spectrum(p, "color", [0.5] * 3, self.textures, ctx)
+            row["roughness"] = _resolve_float(p, "roughness", 0.5, self.textures, ctx)
+            row["eta"] = np.full(3, _resolve_float(p, "eta", 1.5, self.textures, ctx))
+            row["remap"] = False  # disney roughness is used directly
+            row["extra"][0] = _resolve_float(p, "metallic", 0.0, self.textures, ctx)
+            row["extra"][1] = _resolve_float(p, "sheen", 0.0, self.textures, ctx)
+            row["extra"][2] = _resolve_float(p, "sheentint", 0.5, self.textures, ctx)
+            row["extra"][3] = _resolve_float(p, "speculartint", 0.0, self.textures, ctx)
+            row["extra"][4] = _resolve_float(p, "clearcoat", 0.0, self.textures, ctx)
+            row["extra"][5] = _resolve_float(p, "clearcoatgloss", 1.0, self.textures, ctx)
+            row["extra"][6] = _resolve_float(p, "anisotropic", 0.0, self.textures, ctx)
+        elif t == MAT_HAIR:
+            # hair.cpp CreateHairMaterial: sigma_a from (sigma_a | color |
+            # eumelanin/pheomelanin), beta_m/beta_n roughness, alpha tilt
+            sig = p.find_one_spectrum("sigma_a", [-1.0] * 3)
+            if sig[0] < 0:
+                col = p.find_one_spectrum("color", [-1.0] * 3)
+                if col[0] >= 0:
+                    # HairBSDF::SigmaAFromReflectance (hair.cpp:61)
+                    bn = _resolve_float(p, "beta_n", 0.3, self.textures, ctx)
+                    c = np.asarray(col, np.float64)
+                    denom = (5.969 - 0.215 * bn + 2.532 * bn**2
+                             - 10.73 * bn**3 + 5.574 * bn**4
+                             + 0.245 * bn**5)
+                    sig = (np.log(np.maximum(c, 1e-4)) / denom) ** 2
+                else:
+                    eu = p.find_one_float("eumelanin", 1.3)
+                    ph = p.find_one_float("pheomelanin", 0.0)
+                    # SigmaAFromConcentration (hair.cpp:52)
+                    sig = (eu * np.array([0.419, 0.697, 1.37])
+                           + ph * np.array([0.187, 0.4, 1.05]))
+            row["kd"] = np.asarray(sig, np.float64)
+            row["eta"] = np.full(3, _resolve_float(p, "eta", 1.55, self.textures, ctx))
+            row["extra"][0] = _resolve_float(p, "beta_m", 0.3, self.textures, ctx)
+            row["extra"][1] = _resolve_float(p, "beta_n", 0.3, self.textures, ctx)
+            row["extra"][2] = _resolve_float(p, "alpha", 2.0, self.textures, ctx)
+        elif t == MAT_MIX:
+            # mixmat.cpp: scale two named materials by amount / (1-amount)
+            amt = np.asarray(_resolve_spectrum(p, "amount", [0.5] * 3,
+                                               self.textures, ctx))
+            n1 = p.find_one_string("namedmaterial1", "")
+            n2 = p.find_one_string("namedmaterial2", "")
+            c1 = c2 = 0
+            if self.named_materials is not None:
+                if n1 in self.named_materials:
+                    c1 = self.add(self.named_materials[n1])
+                else:
+                    warnings.warn(f"mix material: unknown {n1!r}; using matte")
+                    c1 = self.add(MaterialSpec("matte", ParamSet()))
+                if n2 in self.named_materials:
+                    c2 = self.add(self.named_materials[n2])
+                else:
+                    warnings.warn(f"mix material: unknown {n2!r}; using matte")
+                    c2 = self.add(MaterialSpec("matte", ParamSet()))
+            lum = float(0.2126 * amt[0] + 0.7152 * amt[1] + 0.0722 * amt[2])
+            row["kd"] = amt
+            row["extra"][0] = min(max(lum, 0.0), 1.0)
+            row["extra"][1] = float(c1)
+            row["extra"][2] = float(c2)
         p.report_unused(ctx)
         return row
 
@@ -383,6 +454,7 @@ class _MaterialTable:
             remap_roughness=g("remap").astype(bool),
             kd_tex=g("kd_tex").astype(np.int32),
             ks_tex=g("ks_tex").astype(np.int32),
+            extra=g("extra").astype(np.float32),
         )
 
 
@@ -471,7 +543,7 @@ def flatten(desc: SceneDescription, scene_dir: str = ".") -> FlatScene:
     from tpupt.textures.textures import TextureTable
 
     tex_table = TextureTable.build(desc.textures, scene_dir)
-    mats = _MaterialTable(desc.textures, tex_table)
+    mats = _MaterialTable(desc.textures, tex_table, desc.named_materials)
     tri_chunks: List[dict] = []
     sph_rows: List[dict] = []
     light_rows: List[dict] = []
