@@ -523,6 +523,45 @@ def _shape_to_mesh(rec: ShapeRecord, scene_dir: str):
         if not nx or z is None:
             return None
         return quadrics.tessellate_heightfield(nx, ny, z)
+    if rec.type == "curve":
+        P = p.find_points("P")
+        if P is None:
+            return None
+        w = p.find_one_float("width", 1.0)
+        out = quadrics.tessellate_curve(
+            P,
+            p.find_one_float("width0", w), p.find_one_float("width1", w),
+            curve_type=p.find_one_string("type", "flat"),
+            basis=p.find_one_string("basis", "bezier"),
+            degree=p.find_one_int("degree", 3),
+            normals=p.find_points("N"))
+        if out is None:
+            warnings.warn("curve with too few control points; skipped")
+        return out
+    if rec.type == "nurbs":
+        nu_ = p.find_one_int("nu", 0)
+        nv_ = p.find_one_int("nv", 0)
+        P = p.find_points("P")
+        pw = p.find_floats("Pw")
+        w = None
+        if P is None and pw is not None:
+            pw = np.asarray(pw, np.float64).reshape(-1, 4)
+            w = pw[:, 3]
+            P = pw[:, :3] * np.where(w[:, None] != 0, 1.0 / np.where(
+                w[:, None] == 0, 1.0, w[:, None]), 1.0)
+        if not nu_ or not nv_ or P is None:
+            return None
+        uknots = p.find_floats("uknots")
+        vknots = p.find_floats("vknots")
+        uo = p.find_one_int("uorder", 3)
+        vo = p.find_one_int("vorder", 3)
+        return quadrics.tessellate_nurbs(
+            nu_, nv_, uo, vo, uknots, vknots,
+            p.find_one_float("u0", float(uknots[uo - 1])),
+            p.find_one_float("u1", float(uknots[nu_])),
+            p.find_one_float("v0", float(vknots[vo - 1])),
+            p.find_one_float("v1", float(vknots[nv_])),
+            P, w)
     warnings.warn(f"shape {rec.type!r} not yet supported; skipped")
     return None
 

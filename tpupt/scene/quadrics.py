@@ -140,3 +140,163 @@ def tessellate_heightfield(nx: int, ny: int, z: np.ndarray):
     P = np.stack([xx.ravel(), yy.ravel(), np.asarray(z, np.float64).reshape(nx, ny).ravel()], -1)
     F = _grid_faces(nx - 1, ny - 1)
     return P, None, np.stack([xx.ravel(), yy.ravel()], -1), F
+
+
+def _bezier_eval(cp, t):
+    """Cubic Bézier point + tangent; cp (4,3), t (K,)."""
+    t = t[:, None]
+    mt = 1.0 - t
+    p = (mt ** 3 * cp[0] + 3 * mt ** 2 * t * cp[1]
+         + 3 * mt * t ** 2 * cp[2] + t ** 3 * cp[3])
+    d = (3 * mt ** 2 * (cp[1] - cp[0]) + 6 * mt * t * (cp[2] - cp[1])
+         + 3 * t ** 2 * (cp[3] - cp[2]))
+    return p, d
+
+
+def _bspline_to_bezier(cp4):
+    """Uniform cubic B-spline window (4,3) -> Bézier control points."""
+    b0 = (cp4[0] + 4 * cp4[1] + cp4[2]) / 6.0
+    b1 = (2 * cp4[1] + cp4[2]) / 3.0
+    b2 = (cp4[1] + 2 * cp4[2]) / 3.0
+    b3 = (cp4[1] + 4 * cp4[2] + cp4[3]) / 6.0
+    return np.stack([b0, b1, b2, b3])
+
+
+def tessellate_curve(P, width0, width1, curve_type="flat", basis="bezier",
+                     degree=3, normals=None, samples_per_seg=12):
+    """Curve -> triangle ribbon (shapes/curve.cpp CreateCurveShape parity).
+
+    The reference intersects curves by recursive Bézier splitting against
+    each ray (curve.cpp:105-240); the TPU-native equivalent tessellates once
+    at flatten time into a ribbon whose v coordinate spans the width — which
+    is exactly what the hair BSDF needs for its fiber offset h = -1+2v
+    (hair.cpp:141). 'flat'/'cylinder' ribbons are oriented by a rotation-
+    minimizing frame; 'ribbon' uses the supplied per-endpoint normals."""
+    P = np.asarray(P, np.float64).reshape(-1, 3)
+    if degree == 2:  # elevate quadratic to cubic
+        segs_cp = []
+        step = 2 if basis == "bezier" else 1
+        for s in range(0, len(P) - 2, step):
+            q = P[s:s + 3]
+            if len(q) < 3:
+                break
+            if basis == "bspline":  # uniform quadratic B-spline -> Bézier
+                q = np.stack([(q[0] + q[1]) / 2.0, q[1], (q[1] + q[2]) / 2.0])
+            segs_cp.append(np.stack([
+                q[0], q[0] + 2.0 / 3.0 * (q[1] - q[0]),
+                q[2] + 2.0 / 3.0 * (q[1] - q[2]), q[2]]))
+    elif basis == "bspline":
+        segs_cp = [_bspline_to_bezier(P[s:s + 4])
+                   for s in range(len(P) - 3)]
+    else:
+        segs_cp = [P[s:s + 3 + 1] for s in range(0, len(P) - 3, 3)]
+    if not segs_cp:
+        return None
+
+    n_seg = len(segs_cp)
+    pts, tans = [], []
+    for i, cp in enumerate(segs_cp):
+        t = np.linspace(0, 1, samples_per_seg + 1)
+        if i > 0:
+            t = t[1:]  # shared endpoint
+        p, d = _bezier_eval(cp, t)
+        pts.append(p)
+        tans.append(d)
+    pts = np.concatenate(pts)
+    tans = np.concatenate(tans)
+    k = len(pts)
+    tl = np.linalg.norm(tans, axis=-1, keepdims=True)
+    tans = tans / np.maximum(tl, 1e-12)
+
+    # frame normals: supplied (ribbon) or rotation-minimizing (double
+    # reflection, Wang et al. 2008)
+    u_param = np.linspace(0, 1, k)
+    if curve_type == "ribbon" and normals is not None and len(normals) >= 2:
+        n0 = np.asarray(normals, np.float64).reshape(-1, 3)
+        # interpolate between per-segment-endpoint normals along the curve
+        tt = u_param * (len(n0) - 1)
+        i0 = np.minimum(tt.astype(int), len(n0) - 2)
+        w = (tt - i0)[:, None]
+        nrm = (1 - w) * n0[i0] + w * n0[i0 + 1]
+        nrm /= np.maximum(np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
+    else:
+        nrm = np.zeros((k, 3))
+        ref = np.array([0.0, 0.0, 1.0])
+        if abs(np.dot(ref, tans[0])) > 0.9:
+            ref = np.array([1.0, 0.0, 0.0])
+        nrm[0] = np.cross(tans[0], ref)
+        nrm[0] /= max(np.linalg.norm(nrm[0]), 1e-12)
+        for i in range(1, k):  # double-reflection RMF
+            v1 = pts[i] - pts[i - 1]
+            c1 = max(np.dot(v1, v1), 1e-18)
+            rl = nrm[i - 1] - (2.0 / c1) * np.dot(v1, nrm[i - 1]) * v1
+            tl_ = tans[i - 1] - (2.0 / c1) * np.dot(v1, tans[i - 1]) * v1
+            v2 = tans[i] - tl_
+            c2 = max(np.dot(v2, v2), 1e-18)
+            nrm[i] = rl - (2.0 / c2) * np.dot(v2, rl) * v2
+            nl = np.linalg.norm(nrm[i])
+            nrm[i] = nrm[i] / nl if nl > 1e-12 else nrm[i - 1]
+
+    widths = (1 - u_param) * width0 + u_param * width1
+    # ribbon spans along cross(N, T); surface normal is N
+    side = np.cross(nrm, tans)
+    side /= np.maximum(np.linalg.norm(side, axis=-1, keepdims=True), 1e-12)
+    half = 0.5 * widths[:, None] * side
+    verts = np.concatenate([pts - half, pts + half])  # v=0 rows then v=1
+    vnorm = np.concatenate([nrm, nrm])
+    uv = np.concatenate([np.stack([u_param, np.zeros(k)], -1),
+                         np.stack([u_param, np.ones(k)], -1)])
+    f = []
+    for i in range(k - 1):
+        a, b = i, i + 1
+        c, d = k + i, k + i + 1
+        f += [[a, b, d], [a, d, c]]
+    return verts, vnorm, uv, np.asarray(f, np.int64)
+
+
+def _bspline_basis(i, p, u, knots):
+    """Cox-de Boor recursion (vectorized over u)."""
+    if p == 0:
+        last = knots[i + 1] >= knots[-1]
+        hi = (u < knots[i + 1]) | (last & (u <= knots[i + 1]))
+        return ((u >= knots[i]) & hi).astype(np.float64)
+    out = np.zeros_like(u)
+    d1 = knots[i + p] - knots[i]
+    if d1 > 0:
+        out += (u - knots[i]) / d1 * _bspline_basis(i, p - 1, u, knots)
+    d2 = knots[i + p + 1] - knots[i + 1]
+    if d2 > 0:
+        out += (knots[i + p + 1] - u) / d2 * _bspline_basis(i + 1, p - 1, u, knots)
+    return out
+
+
+def tessellate_nurbs(nu, nv, uorder, vorder, uknots, vknots,
+                     u0, u1, v0, v1, P, w=None, res_u=32, res_v=32):
+    """NURBS surface -> trianglemesh (shapes/nurbs.cpp parity): rational
+    B-spline surface evaluated on a grid via Cox-de Boor, normals from
+    central differences of the evaluated grid."""
+    P = np.asarray(P, np.float64).reshape(nv, nu, 3)
+    w = (np.ones((nv, nu)) if w is None
+         else np.asarray(w, np.float64).reshape(nv, nu))
+    uknots = np.asarray(uknots, np.float64)
+    vknots = np.asarray(vknots, np.float64)
+    us = np.linspace(u0, u1, res_u + 1)
+    vs = np.linspace(v0, v1, res_v + 1)
+    bu = np.stack([_bspline_basis(i, uorder - 1, us, uknots)
+                   for i in range(nu)])   # (nu, U)
+    bv = np.stack([_bspline_basis(j, vorder - 1, vs, vknots)
+                   for j in range(nv)])   # (nv, V)
+    wp = P * w[..., None]
+    num = np.einsum("jJ,iI,jid->IJd", bv, bu, wp)   # (U, V, 3)
+    den = np.einsum("jJ,iI,ji->IJ", bv, bu, w)
+    S = num / np.maximum(den[..., None], 1e-12)
+    # normals by central differences
+    du = np.gradient(S, axis=0)
+    dv = np.gradient(S, axis=1)
+    N = np.cross(du, dv)
+    N /= np.maximum(np.linalg.norm(N, axis=-1, keepdims=True), 1e-12)
+    uu, vv = np.meshgrid(us, vs, indexing="ij")
+    uvs = np.stack([(uu.ravel() - u0) / max(u1 - u0, 1e-12),
+                    (vv.ravel() - v0) / max(v1 - v0, 1e-12)], -1)
+    return (S.reshape(-1, 3), N.reshape(-1, 3), uvs,
+            _grid_faces(res_u, res_v))
