@@ -242,6 +242,39 @@ def path_li(ds: DeviceScene, st: SceneStatics, sampler: WavefrontSampler,
     tmax_init = jnp.full(n, jnp.inf)
     light_cdf = jnp.cumsum(ds.light_pdf)
 
+    def grid_cdf_row(p):
+        """Per-point light-choice cdf row from the spatial voxel grid
+        (SpatialLightDistribution::Lookup, lightdistrib.cpp:120)."""
+        g = round(ds.light_grid_cdf.shape[0] ** (1.0 / 3.0))
+        ext = jnp.maximum(ds.world_hi - ds.world_lo, 1e-6)
+        v = jnp.clip(((p - ds.world_lo) / ext * g).astype(jnp.int32), 0, g - 1)
+        flat = (v[..., 0] * g + v[..., 1]) * g + v[..., 2]
+        return ds.light_grid_cdf[flat]  # (N, L)
+
+    def pick_light(u, p):
+        """(light id, pmf) under the active strategy."""
+        if st.spatial_lights:
+            row = grid_cdf_row(p)
+            lid = jnp.clip(jnp.sum(u[..., None] > row, -1),
+                           0, st.n_lights - 1).astype(jnp.int32)
+            hi = jnp.take_along_axis(row, lid[..., None], -1)[..., 0]
+            lo = jnp.where(lid > 0, jnp.take_along_axis(
+                row, jnp.maximum(lid - 1, 0)[..., None], -1)[..., 0], 0.0)
+            return lid, jnp.maximum(hi - lo, 1e-12)
+        lid = jnp.clip(jnp.searchsorted(light_cdf, u, side="right"),
+                       0, st.n_lights - 1).astype(jnp.int32)
+        return lid, ds.light_pdf[lid]
+
+    def light_pmf_at(p, lid):
+        """pmf the strategy assigns to light lid from point p (for MIS)."""
+        if st.spatial_lights:
+            row = grid_cdf_row(p)
+            hi = jnp.take_along_axis(row, lid[..., None], -1)[..., 0]
+            lo = jnp.where(lid > 0, jnp.take_along_axis(
+                row, jnp.maximum(lid - 1, 0)[..., None], -1)[..., 0], 0.0)
+            return jnp.maximum(hi - lo, 1e-12)
+        return ds.light_pdf[lid]
+
     class _S(NamedTuple):
         o: jnp.ndarray
         d: jnp.ndarray
@@ -290,7 +323,7 @@ def path_li(ds: DeviceScene, st: SceneStatics, sampler: WavefrontSampler,
             lp = pdf_li(ds, st, s.prev_p, d, jnp.maximum(hit.prim, 0), t_safe)
             lp = jnp.where(hit.valid, lp, 0.0)
             lid0 = jnp.clip(sp.light, 0, max(st.n_lights - 1, 0))
-            pmf0 = ds.light_pdf[lid0]
+            pmf0 = light_pmf_at(s.prev_p, lid0)
             w_bsdf = power_heuristic(1.0, s.prev_pdf, 1.0, lp * pmf0)
             w = jnp.where(s.prev_specular, 1.0, w_bsdf)
             L = L + beta * le * w[..., None]
@@ -298,9 +331,14 @@ def path_li(ds: DeviceScene, st: SceneStatics, sampler: WavefrontSampler,
             # miss -> infinite lights (path.cpp:100-107)
             miss = alive & ~hit.valid
             miss_le, miss_pdf = miss_radiance_and_pdf(ds, st, d)
+            if st.spatial_lights and st.env_light_id >= 0:
+                inf_pmf_r = light_pmf_at(
+                    s.prev_p, jnp.full(n, st.env_light_id, jnp.int32))
+            else:
+                inf_pmf_r = inf_pmf
             w_inf = jnp.where(
                 s.prev_specular, 1.0,
-                power_heuristic(1.0, s.prev_pdf, 1.0, miss_pdf * inf_pmf))
+                power_heuristic(1.0, s.prev_pdf, 1.0, miss_pdf * inf_pmf_r))
             L = L + jnp.where(miss[..., None],
                               beta * miss_le * w_inf[..., None], 0.0)
 
@@ -319,9 +357,7 @@ def path_li(ds: DeviceScene, st: SceneStatics, sampler: WavefrontSampler,
 
         # ---- NEE (UniformSampleOneLight, integrator.cpp:86) ----
         if st.n_lights > 0:
-            lid = jnp.clip(jnp.searchsorted(light_cdf, ub[0], side="right"),
-                           0, st.n_lights - 1).astype(jnp.int32)
-            pmf = ds.light_pdf[lid]
+            lid, pmf = pick_light(ub[0], sp.p)
             ls = sample_li(ds, st, lid, sp.p, ub[1], ub[2])
             wi_l = bx.to_local(t_f, b_f, n_f, ls.wi)
             f_l, pdf_b = bx.eval_pdf(mp, wo_l, wi_l, st.mat_features)
@@ -400,8 +436,7 @@ class Renderer:
 
     def __init__(self, scene: FlatScene, light_strategy: str = None):
         _enable_compile_cache()
-        strategy = light_strategy or (
-            "power" if scene.integrator.light_strategy == "power" else "uniform")
+        strategy = light_strategy or scene.integrator.light_strategy
         self.scene = scene
         self.ds, self.st = upload(scene, light_strategy=strategy)
         self.sampler = WavefrontSampler(

@@ -18,8 +18,9 @@ from tpupt.core.sampling import (uniform_cone_pdf, uniform_sample_cone,
                                  uniform_sample_sphere, uniform_sample_triangle)
 from tpupt.core.vecmath import coordinate_system, cross, dot, length
 from tpupt.materials.bsdf import to_world
-from tpupt.scene.flatten import (LIGHT_AREA, LIGHT_DISTANT, LIGHT_INFINITE,
-                                 LIGHT_POINT, LIGHT_SPOT)
+from tpupt.scene.flatten import (LIGHT_AREA, LIGHT_DISTANT, LIGHT_GONIO,
+                                 LIGHT_INFINITE, LIGHT_POINT,
+                                 LIGHT_PROJECTION, LIGHT_SPOT)
 
 
 class LightSample(NamedTuple):
@@ -32,6 +33,32 @@ class LightSample(NamedTuple):
 
 def _world_radius(ds):
     return 0.5 * length(ds.world_hi - ds.world_lo) + 1e-3
+
+
+def _light_img_fetch(ds, light_id, u, v):
+    """Bilinear fetch from the per-light map atlas (gonio/projection)."""
+    off = ds.light_img_off[light_id]
+    w = jnp.maximum(ds.light_img_w[light_id], 1)
+    h = jnp.maximum(ds.light_img_h[light_id], 1)
+    fx = jnp.clip(u, 0.0, 1.0) * w - 0.5
+    fy = jnp.clip(v, 0.0, 1.0) * h - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    ax = (fx - x0)[..., None]
+    ay = (fy - y0)[..., None]
+    n_tex = ds.light_img.shape[0]
+
+    def texel(xi, yi):
+        xi = jnp.clip(xi.astype(jnp.int32), 0, w - 1)
+        yi = jnp.clip(yi.astype(jnp.int32), 0, h - 1)
+        idx = jnp.clip(jnp.maximum(off, 0) + yi * w + xi, 0, n_tex - 1)
+        return ds.light_img[idx]
+
+    val = ((1 - ax) * (1 - ay) * texel(x0, y0)
+           + ax * (1 - ay) * texel(x0 + 1, y0)
+           + (1 - ax) * ay * texel(x0, y0 + 1)
+           + ax * ay * texel(x0 + 1, y0 + 1))
+    return jnp.where((off >= 0)[..., None], val, 1.0)
 
 
 def _gather_tri_light_geo(ds, prim):
@@ -79,6 +106,34 @@ def sample_li(ds, st, light_id, p, u1, u2):
     falloff = delta * delta * (delta * delta)
     li_spot = li_point * jnp.where(cos_axis < ct, 0.0,
                                    jnp.where(cos_axis > cf, 1.0, falloff))[..., None]
+
+    # --- goniometric / projection (lights/goniometric.cpp Scale,
+    # lights/projection.cpp Projection): point light modulated by a map ---
+    li_gonio = li_point
+    li_proj = li_point
+    if st.has_light_imgs:
+        w2l = ds.light_w2l[light_id]
+        d_l = jnp.einsum("nij,nj->ni", w2l, -wi_p)  # direction FROM light
+        # gonio: equirect (theta from +z, phi in xy)
+        theta = jnp.arccos(jnp.clip(d_l[..., 2], -1.0, 1.0))
+        phi = jnp.arctan2(d_l[..., 1], d_l[..., 0])
+        phi = jnp.where(phi < 0, phi + 2 * jnp.pi, phi)
+        g_scale = _light_img_fetch(ds, light_id, phi / (2 * jnp.pi),
+                                   theta / jnp.pi)
+        li_gonio = li_point * g_scale
+        # projection: perspective map through the fov window
+        wz = jnp.maximum(d_l[..., 2], 1e-6)
+        half_tan = jnp.tan(jnp.arccos(jnp.clip(
+            ds.light_cos_total[light_id], -1.0, 1.0)))
+        aspect = (ds.light_img_w[light_id].astype(jnp.float32)
+                  / jnp.maximum(ds.light_img_h[light_id], 1))
+        su = d_l[..., 0] / (wz * jnp.maximum(half_tan, 1e-6))
+        sv = d_l[..., 1] / (wz * jnp.maximum(half_tan, 1e-6)) * aspect
+        in_frustum = ((d_l[..., 2] > 1e-3) & (jnp.abs(su) <= 1.0)
+                      & (jnp.abs(sv) <= 1.0))
+        p_scale = _light_img_fetch(ds, light_id, (su + 1.0) * 0.5,
+                                   (sv + 1.0) * 0.5)
+        li_proj = li_point * jnp.where(in_frustum[..., None], p_scale, 0.0)
 
     # --- distant (lights/distant.cpp Sample_Li) ---
     wi_d = ldir
@@ -148,6 +203,8 @@ def sample_li(ds, st, light_id, p, u1, u2):
     delta_flag = jnp.ones(n, bool)
     for tid_, w_, l_, pf_, dd_, df_ in (
         (LIGHT_SPOT, wi_p, li_spot, jnp.ones(n), dist_p, True),
+        (LIGHT_GONIO, wi_p, li_gonio, jnp.ones(n), dist_p, True),
+        (LIGHT_PROJECTION, wi_p, li_proj, jnp.ones(n), dist_p, True),
         (LIGHT_DISTANT, wi_d, lL, jnp.ones(n), dist_d, True),
         (LIGHT_INFINITE, wi_inf, li_inf, pdf_inf, dist_inf, False),
         (LIGHT_AREA, wi_area, li_area, pdf_area, dist_area, False),

@@ -77,6 +77,14 @@ class DeviceScene(NamedTuple):
     light_cos_total: jnp.ndarray
     light_cos_falloff: jnp.ndarray
     light_pdf: jnp.ndarray  # discrete choice pmf per light (uniform or power)
+    light_w2l: jnp.ndarray  # (L,3,3) world->light rotations (gonio/projection)
+    light_img_off: jnp.ndarray  # (L,) i32 into light_img, -1 = none
+    light_img_w: jnp.ndarray
+    light_img_h: jnp.ndarray
+    light_img: jnp.ndarray  # angular/projection map atlas (P,3)
+    # spatial light distribution (lightdistrib.h:100 SpatialLightDistribution):
+    # per-voxel light-choice cdf over a G^3 grid of the world bounds
+    light_grid_cdf: jnp.ndarray  # (G^3, L) or (1,1) when disabled
     # textures (flat tables + atlas; textures/textures.py)
     tex_type: jnp.ndarray
     tex_v1: jnp.ndarray
@@ -122,6 +130,8 @@ class SceneStatics(NamedTuple):
     # ("disney" / "hair" / "mix") — gates their lobes out of the compiled
     # BSDF dispatch for scenes that don't use them
     mat_features: frozenset = frozenset()
+    spatial_lights: bool = False  # light_grid_cdf is a real G^3 grid
+    has_light_imgs: bool = False  # gonio/projection maps present
 
 
 def pack_prim_rows(scene: FlatScene, prim_ids: np.ndarray) -> np.ndarray:
@@ -167,6 +177,63 @@ def _pad1(a: np.ndarray, fill=0):
         return a
     shape = (1,) + a.shape[1:]
     return np.full(shape, fill, a.dtype)
+
+
+SPATIAL_GRID_RES = 16
+
+
+def _spatial_light_grid(scene: FlatScene, lt, wlo, whi):
+    """Voxelized light-choice distributions (SpatialLightDistribution,
+    lightdistrib.cpp:100-180 re-architected for TPU: instead of a lazily
+    filled hash table, a dense G^3 grid of per-voxel cdfs is precomputed at
+    upload — each voxel weights every light by an unoccluded contribution
+    estimate at the voxel center, like the reference's sampled estimate)."""
+    from tpupt.scene.flatten import (LIGHT_AREA, LIGHT_DISTANT,
+                                     LIGHT_INFINITE, LIGHT_POINT,
+                                     LIGHT_SPOT)
+
+    g = SPATIAL_GRID_RES
+    ax = [np.linspace(wlo[a], whi[a], g, endpoint=False)
+          + (whi[a] - wlo[a]) / (2 * g) for a in range(3)]
+    cx, cy, cz = np.meshgrid(*ax, indexing="ij")
+    centers = np.stack([cx.ravel(), cy.ravel(), cz.ravel()], -1)  # (V,3)
+    diag2 = float(np.sum((whi - wlo) ** 2)) / (g * g)
+
+    lum = 0.2126 * lt.L[:, 0] + 0.7152 * lt.L[:, 1] + 0.0722 * lt.L[:, 2]
+    weights = np.zeros((len(centers), lt.count), np.float64)
+    t, s = scene.triangles, scene.spheres
+    for li in range(lt.count):
+        typ = int(lt.type[li])
+        if typ in (LIGHT_POINT, LIGHT_SPOT) or typ > LIGHT_SPOT:
+            d2 = np.sum((centers - lt.pos[li]) ** 2, -1)
+            w = lum[li] / np.maximum(d2, diag2)
+            if typ == LIGHT_SPOT:  # cone culling at the voxel center
+                to_c = centers - lt.pos[li]
+                to_c /= np.maximum(np.linalg.norm(to_c, axis=-1,
+                                                  keepdims=True), 1e-12)
+                w = w * (to_c @ lt.dir[li] > lt.cos_total[li] - 0.2)
+        elif typ in (LIGHT_DISTANT, LIGHT_INFINITE):
+            w = np.full(len(centers), lum[li] * np.pi)
+        elif typ == LIGHT_AREA:
+            prim = int(lt.prim[li])
+            if prim < t.count:
+                c = (t.p0[prim] + t.p1[prim] + t.p2[prim]) / 3.0
+                area = 0.5 * np.linalg.norm(
+                    np.cross(t.p1[prim] - t.p0[prim], t.p2[prim] - t.p0[prim]))
+            else:
+                sid = prim - t.count
+                c = s.o2w[sid][:3, 3]
+                area = 4 * np.pi * s.radius[sid] ** 2
+            d2 = np.sum((centers - c) ** 2, -1)
+            w = lum[li] * area / np.maximum(d2, diag2)
+        else:
+            w = np.full(len(centers), lum[li])
+        weights[:, li] = np.maximum(w, 0.0)
+    tot = weights.sum(-1, keepdims=True)
+    # all-zero voxels fall back to uniform (reference does the same)
+    pmf = np.where(tot > 0, weights / np.maximum(tot, 1e-300),
+                   1.0 / lt.count)
+    return np.cumsum(pmf, -1).astype(np.float32)
 
 
 def upload(scene: FlatScene, bvh: BVHArrays = None,
@@ -222,6 +289,10 @@ def upload(scene: FlatScene, bvh: BVHArrays = None,
     else:
         light_pdf = np.full(max(n_lights, 1), 1.0 / max(n_lights, 1), np.float32)
 
+    light_grid_cdf = np.zeros((1, 1), np.float32)
+    if light_strategy == "spatial" and 0 < n_lights <= 256:
+        light_grid_cdf = _spatial_light_grid(scene, lt, wlo, whi)
+
     eye = np.eye(4, dtype=np.float32)[None]
     ds = DeviceScene(
         tri_p0=jnp.asarray(_pad1(t.p0)), tri_p1=jnp.asarray(_pad1(t.p1)),
@@ -264,6 +335,12 @@ def upload(scene: FlatScene, bvh: BVHArrays = None,
         light_cos_total=jnp.asarray(_pad1(lt.cos_total)),
         light_cos_falloff=jnp.asarray(_pad1(lt.cos_falloff)),
         light_pdf=jnp.asarray(light_pdf.astype(np.float32)),
+        light_w2l=jnp.asarray(_pad1(lt.w2l.reshape(-1, 9)).reshape(-1, 3, 3)),
+        light_img_off=jnp.asarray(_pad1(lt.img_off, -1)),
+        light_img_w=jnp.asarray(_pad1(lt.img_w)),
+        light_img_h=jnp.asarray(_pad1(lt.img_h)),
+        light_img=jnp.asarray(lt.img),
+        light_grid_cdf=jnp.asarray(light_grid_cdf),
         **_texture_fields(scene, m),
         **_env_fields(scene),
         cam_to_world=jnp.asarray(scene.camera.cam_to_world),
@@ -289,6 +366,8 @@ def upload(scene: FlatScene, bvh: BVHArrays = None,
             name for name, tid in (("disney", MAT_DISNEY),
                                    ("hair", MAT_HAIR), ("mix", MAT_MIX))
             if (m.type == tid).any()),
+        spatial_lights=light_grid_cdf.shape[0] > 1,
+        has_light_imgs=bool((lt.img_off >= 0).any()),
     )
     return ds, statics
 

@@ -37,7 +37,8 @@ _MATERIAL_IDS = {
     "hair": MAT_HAIR, "mix": MAT_MIX,
 }
 
-LIGHT_POINT, LIGHT_DISTANT, LIGHT_AREA, LIGHT_INFINITE, LIGHT_SPOT = range(5)
+(LIGHT_POINT, LIGHT_DISTANT, LIGHT_AREA, LIGHT_INFINITE, LIGHT_SPOT,
+ LIGHT_GONIO, LIGHT_PROJECTION) = range(7)
 
 CAM_PERSPECTIVE, CAM_ORTHOGRAPHIC, CAM_ENVIRONMENT = range(3)
 
@@ -134,8 +135,27 @@ class Lights:
     prim: np.ndarray  # (L,) i32 global prim id for area lights, -1 otherwise
     nsamples: np.ndarray  # (L,) i32
     twosided: np.ndarray  # (L,) bool
-    cos_total: np.ndarray  # (L,) spot total-angle cosine
+    cos_total: np.ndarray  # (L,) spot total cosine / projection fov cosine
     cos_falloff: np.ndarray  # (L,) spot falloff-start cosine
+    w2l: np.ndarray = None  # (L,3,3) world->light rotation (gonio/projection)
+    img_off: np.ndarray = None  # (L,) i32 offset into img atlas, -1 = none
+    img_w: np.ndarray = None  # (L,) i32
+    img_h: np.ndarray = None  # (L,) i32
+    img: np.ndarray = None  # (sum(w*h), 3) angular/projection map atlas
+
+    def __post_init__(self):
+        n = len(self.type)
+        if self.w2l is None:
+            self.w2l = np.broadcast_to(np.eye(3, dtype=np.float32),
+                                       (n, 3, 3)).copy()
+        if self.img_off is None:
+            self.img_off = np.full(n, -1, np.int32)
+        if self.img_w is None:
+            self.img_w = np.zeros(n, np.int32)
+        if self.img_h is None:
+            self.img_h = np.zeros(n, np.int32)
+        if self.img is None:
+            self.img = np.zeros((1, 3), np.float32)
 
     @property
     def count(self) -> int:
@@ -704,6 +724,7 @@ def flatten(desc: SceneDescription, scene_dir: str = ".") -> FlatScene:
 
     # 3. non-area lights
     env_state = {"map": None, "id": -1, "w2l": None}
+    light_imgs: List[np.ndarray] = []  # gonio/projection map atlas
     for lr in desc.lights:
         p = lr.params
         t = lr.light_to_world
@@ -759,6 +780,34 @@ def flatten(desc: SceneDescription, scene_dir: str = ".") -> FlatScene:
                                    dir=np.array([0, 0, 1.0]), prim=-1,
                                    nsamples=p.find_one_int("samples", p.find_one_int("nsamples", 1)),
                                    twosided=False, cos_total=0.0, cos_falloff=0.0))
+        elif lr.type in ("goniometric", "projection"):
+            # goniometric.cpp / projection.cpp: point intensity modulated by
+            # an angular map (equirect) / a projected image (perspective)
+            from tpupt.textures.textures import _load_image
+
+            I = p.find_one_spectrum("I", [1, 1, 1]) * scale
+            frm = t.apply_point([np.zeros(3)])[0]
+            mapname = p.find_one_string("mapname", "")
+            img = None
+            if mapname:
+                path = mapname if os.path.isabs(mapname) else os.path.join(
+                    scene_dir, mapname)
+                img = _load_image(path)
+                if img is None:
+                    warnings.warn(f"light map {mapname!r} not found")
+            if img is None:
+                img = np.ones((1, 1, 3), np.float32)
+            off = sum(i.shape[0] * i.shape[1] for i in light_imgs)
+            light_imgs.append(np.asarray(img, np.float32))
+            fov = p.find_one_float("fov", 45.0)
+            typ = (LIGHT_GONIO if lr.type == "goniometric"
+                   else LIGHT_PROJECTION)
+            light_rows.append(dict(
+                type=typ, L=I, pos=frm, dir=np.array([0, 0, 1.0]), prim=-1,
+                nsamples=1, twosided=False,
+                cos_total=np.cos(np.deg2rad(fov) / 2.0), cos_falloff=0.0,
+                w2l=t.m_inv[:3, :3], img_off=off,
+                img_w=img.shape[1], img_h=img.shape[0]))
         else:
             warnings.warn(f"light {lr.type!r} not yet supported; skipped")
 
@@ -772,6 +821,13 @@ def flatten(desc: SceneDescription, scene_dir: str = ".") -> FlatScene:
         twosided=np.asarray([r["twosided"] for r in light_rows], bool),
         cos_total=np.asarray([r["cos_total"] for r in light_rows], np.float32),
         cos_falloff=np.asarray([r["cos_falloff"] for r in light_rows], np.float32),
+        w2l=np.asarray([r.get("w2l", np.eye(3)) for r in light_rows],
+                       np.float32).reshape(-1, 3, 3),
+        img_off=np.asarray([r.get("img_off", -1) for r in light_rows], np.int32),
+        img_w=np.asarray([r.get("img_w", 0) for r in light_rows], np.int32),
+        img_h=np.asarray([r.get("img_h", 0) for r in light_rows], np.int32),
+        img=(np.concatenate([i.reshape(-1, 3) for i in light_imgs])
+             if light_imgs else np.zeros((1, 3), np.float32)),
     )
 
     # 4. camera / film / sampler / integrator configs
