@@ -537,8 +537,17 @@ class Renderer:
                 L, aov = volpath_li(ds, st, sampler, self._medium, max_depth,
                                     rr_threshold, px_b, py_b, sample_idx,
                                     o, d, self._isect, self._isect_p)
-            elif name in ("path", "volpath", "bdpt", "mlt", "sppm"):
-                # bdpt/mlt/sppm fall back to path until implemented
+            elif name == "bdpt":
+                from tpupt.integrators.bdpt import bdpt_li
+
+                L, aov, sp_p, sp_L = bdpt_li(
+                    ds, st, sampler, max_depth, px_b, py_b, sample_idx,
+                    o, d, self._isect, self._isect_p, xres, yres,
+                    valid=valid_b)
+                film = filmmod.add_splats(film, self.cfg, sp_p, sp_L)
+            elif name in ("path", "volpath", "mlt", "sppm"):
+                # mlt/sppm run through their own Render drivers; inside the
+                # shared sample loop they estimate with the path kernel
                 L, aov = path_li(ds, st, sampler, max_depth, rr_threshold,
                                  px_b, py_b, sample_idx, o, d,
                                  isect=self._isect, isect_p=self._isect_p)
@@ -583,6 +592,7 @@ class Renderer:
         spp = spp or self.scene.sampler.spp
         film = film if film is not None else filmmod.new_film(
             self.cfg.xres, self.cfg.yres)
+        self._spp_rendered = getattr(self, "_spp_rendered", 0) + spp
         b = self.batch
         for s in range(spp):
             for k in range(self.n_batches):
@@ -633,7 +643,10 @@ class Renderer:
         return film
 
     def image(self, film):
-        return np.asarray(filmmod.to_image(film, self.cfg))
+        # splats (BDPT t==1 / MLT) are averaged over rendered samples
+        # (Film::WriteImage splatScale, film.cpp:153)
+        scale = 1.0 / max(getattr(self, "_spp_rendered", 0), 1)
+        return np.asarray(filmmod.to_image(film, self.cfg, scale))
 
     def aovs(self, film):
         return {k: np.asarray(v)
