@@ -84,13 +84,28 @@ def main(argv=None):
 
     spp = args.spp or scene.sampler.spp
     t0 = time.time()
-    film = r.render(spp=spp, verbose=not args.quiet)
-    import jax.numpy as jnp
+    name = scene.integrator.name
+    if name == "mlt":
+        from tpupt.integrators.mlt import MLTRenderer
 
-    jax.block_until_ready(film.rgb)
-    render_s = time.time() - t0
+        img = MLTRenderer(r).render(mutations_per_pixel=max(spp * 8, 32),
+                                    verbose=not args.quiet)
+        film = None
+        render_s = time.time() - t0
+    elif name == "sppm":
+        from tpupt.integrators.sppm import SPPMRenderer
 
-    img = r.image(film)
+        img = SPPMRenderer(r).render(n_iterations=max(spp, 4),
+                                     verbose=not args.quiet)
+        film = None
+        render_s = time.time() - t0
+    else:
+        film = r.render(spp=spp, verbose=not args.quiet)
+        import jax.numpy as jnp
+
+        jax.block_until_ready(film.rgb)
+        render_s = time.time() - t0
+        img = r.image(film)
     out = args.outfile or os.path.splitext(
         os.path.basename(scene.film.filename))[0] + ".png"
     ext = os.path.splitext(out)[1].lower()
