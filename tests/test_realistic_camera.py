@@ -1,0 +1,156 @@
+"""Realistic lens-system camera tests (cameras/realistic.cpp parity)."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tpupt.cameras.realistic import (element_z_positions, focus_thick_lens,
+                                     load_lens_file, realistic_rays,
+                                     trace_lenses_from_film)
+
+# a simple symmetric biconvex singlet: f ~= 50mm
+_LENS_TXT = """
+# radius  thickness  eta  aperture-diameter   (mm)
+50    5    1.5   30
+-50   48   1     30
+"""
+
+
+@pytest.fixture
+def lens(tmp_path):
+    p = tmp_path / "biconvex.dat"
+    p.write_text(_LENS_TXT)
+    return load_lens_file(str(p))
+
+
+def test_lens_file_units(lens):
+    assert lens.shape == (2, 4)
+    np.testing.assert_allclose(lens[0], [0.05, 0.005, 1.5, 0.015])
+
+
+def test_paraxial_focus(lens):
+    """Thick-lens focusing puts an on-axis object in focus: rays from one
+    object point reconverge to one film point."""
+    focused = focus_thick_lens(lens, 4.0)
+    z = element_z_positions(focused)
+    # trace a fan of rays from the on-axis object point at 4m in front
+    n = 64
+    front_z = float(z[0])
+    obj = jnp.asarray([0.0, 0.0, front_z - 4.0])
+    # paraxial fan (wide fans measure the singlet's real spherical
+    # aberration, not defocus)
+    heights = np.linspace(-0.002, 0.002, n)
+    p_front = jnp.stack([jnp.asarray(heights), jnp.zeros(n),
+                         jnp.full(n, front_z)], -1)
+    d = p_front - obj
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    # rays travel toward the film (+z in lens space)
+    o_l, d_l, alive = _trace_scene_to_film(focused, z, jnp.broadcast_to(
+        obj, (n, 3)), d)
+    a = np.array(alive)
+    assert a.sum() > n // 2
+    # propagate to the film plane z = 0 and measure the blur spot
+    t = -np.array(o_l)[a, 2] / np.array(d_l)[a, 2]
+    x_f = np.array(o_l)[a, 0] + t * np.array(d_l)[a, 0]
+    assert np.abs(x_f - x_f.mean()).max() < 1e-4  # sharp focus spot
+
+
+def _trace_scene_to_film(lens, zpos, o, d):
+    """Trace scene->film by reversing the stack (for the focus test)."""
+    # flip to film->scene convention by tracing the reversed ray backward:
+    # instead trace from film is the exposed API; here do a simple manual
+    # forward trace using the same element math via time reversal
+    o2 = jnp.stack([o[:, 0], o[:, 1], o[:, 2]], -1)
+    return _forward_trace(lens, zpos, o2, d)
+
+
+def _forward_trace(lens, zpos, o, d):
+    n = o.shape[0]
+    alive = jnp.ones(n, bool)
+    eta_prev = 1.0
+    for i in range(len(lens)):
+        r, _, eta, ap = (float(lens[i, 0]), float(lens[i, 1]),
+                         float(lens[i, 2]), float(lens[i, 3]))
+        z_e = float(zpos[i])
+        if r == 0.0:
+            t = (z_e - o[:, 2]) / d[:, 2]
+            p = o + t[:, None] * d
+            alive = alive & (p[:, 0] ** 2 + p[:, 1] ** 2 <= ap * ap)
+            o = p
+            continue
+        zc = z_e + r
+        oc = o - jnp.asarray([0.0, 0.0, zc])
+        b = jnp.sum(oc * d, -1)
+        c = jnp.sum(oc * oc, -1) - r * r
+        disc = b * b - c
+        ok = disc >= 0
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t1 = -b - sq
+        t2 = -b + sq
+        z1 = jnp.abs(o[:, 2] + t1 * d[:, 2] - z_e)
+        z2 = jnp.abs(o[:, 2] + t2 * d[:, 2] - z_e)
+        pick1 = (z1 <= z2) & (t1 > 1e-9) | (t2 <= 1e-9)
+        t = jnp.where(pick1, t1, t2)
+        p = o + t[:, None] * d
+        alive = alive & ok & (p[:, 0] ** 2 + p[:, 1] ** 2 <= ap * ap)
+        nrm = (p - jnp.asarray([0.0, 0.0, zc])) / r
+        nrm = jnp.where((jnp.sum(nrm * d, -1) > 0)[:, None], -nrm, nrm)
+        eta_t = eta if eta != 0 else 1.0
+        ratio = eta_prev / eta_t
+        cos_i = -jnp.sum(nrm * d, -1)
+        sin2_t = ratio * ratio * jnp.maximum(0.0, 1.0 - cos_i * cos_i)
+        cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
+        dn = ratio * d + (ratio * cos_i - cos_t)[:, None] * nrm
+        d = dn / jnp.linalg.norm(dn, axis=-1, keepdims=True)
+        o = p
+        eta_prev = eta_t
+    return o, d, alive
+
+
+def test_film_roundtrip_hits_scene(lens):
+    """Rays generated from the film exit the front of the lens into the
+    scene (alive fraction > 0) and vignetting kills edge samples."""
+    focused = focus_thick_lens(lens, 4.0)
+    z = element_z_positions(focused)
+    n = 512
+    rng = np.random.default_rng(0)
+    pr = jnp.asarray(rng.uniform(0, 32, (n, 2)).astype(np.float32))
+    ul = jnp.asarray(rng.uniform(0, 1, (n, 2)).astype(np.float32))
+    o, d, alive = realistic_rays(focused, z, jnp.eye(4), pr, ul, 32, 32,
+                                 0.035)
+    a = np.array(alive)
+    assert 0.05 < a.mean() <= 1.0
+    # all surviving rays point into the scene (+z in camera space)
+    assert (np.array(d)[a, 2] > 0).all()
+    assert np.isfinite(np.array(o)[a]).all()
+
+
+def test_realistic_scene_render(tmp_path):
+    from tpupt.scene.flatten import flatten
+    from tpupt.scene.loader import parse_string
+    from tpupt.integrators.path import Renderer
+
+    lens_path = tmp_path / "lens.dat"
+    lens_path.write_text(_LENS_TXT)
+    sc = flatten(parse_string(f"""
+LookAt 0 0 0  0 0 -1  0 1 0
+Camera "realistic" "string lensfile" ["{lens_path}"]
+  "float focusdistance" [4] "float aperturediameter" [10]
+Film "image" "integer xresolution" [24] "integer yresolution" [24]
+Sampler "halton" "integer pixelsamples" [8]
+Integrator "path" "integer maxdepth" [2]
+WorldBegin
+LightSource "distant" "point from" [0 2 0] "point to" [0 0 -4]
+Material "matte" "rgb Kd" [0.7 0.7 0.7]
+AttributeBegin
+  Translate 0 0 -4
+  Shape "sphere" "float radius" [1.0]
+AttributeEnd
+WorldEnd
+"""), str(tmp_path))
+    r = Renderer(sc)
+    img = np.array(r.image(r.render(spp=8)))
+    assert np.isfinite(img).all()
+    assert img.max() > 0.01  # the sphere is visible through the lens

@@ -526,10 +526,21 @@ class Renderer:
                                   py_b.astype(jnp.float32) + jy], -1)
             ul1 = sampler.dim(px_b, py_b, sample_idx, 2)
             ul2 = sampler.dim(px_b, py_b, sample_idx, 3)
-            o, d = generate_rays(cam.type, ds.raster_to_camera, ds.cam_to_world,
-                                 p_raster, jnp.stack([ul1, ul2], -1),
-                                 cam.lens_radius, cam.focal_distance,
-                                 xres, yres)
+            if cam.lens_data is not None:
+                # realistic lens-stack camera (cameras/realistic.py);
+                # vignetted lanes contribute black
+                from tpupt.cameras.realistic import realistic_rays
+
+                o, d, cam_alive = realistic_rays(
+                    cam.lens_data, cam.lens_z, ds.cam_to_world, p_raster,
+                    jnp.stack([ul1, ul2], -1), xres, yres, cam.film_diag)
+            else:
+                o, d = generate_rays(cam.type, ds.raster_to_camera,
+                                     ds.cam_to_world, p_raster,
+                                     jnp.stack([ul1, ul2], -1),
+                                     cam.lens_radius, cam.focal_distance,
+                                     xres, yres)
+                cam_alive = None
             name = scene.integrator.name
             if name == "volpath" and self._medium is not None:
                 from tpupt.integrators.volpath import volpath_li
@@ -572,6 +583,8 @@ class Renderer:
             # NaN/inf clamping to black (integrator.cpp:300-321)
             bad = ~jnp.isfinite(L).all(-1) | (jnp.min(L, -1) < 0.0)
             L = jnp.where(bad[..., None], 0.0, L)
+            if cam_alive is not None:
+                L = jnp.where(cam_alive[..., None], L, 0.0)
             if np.isfinite(self.cfg.max_sample_luminance):
                 from tpupt.core.spectrum import luminance
 

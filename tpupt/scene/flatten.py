@@ -40,7 +40,7 @@ _MATERIAL_IDS = {
 (LIGHT_POINT, LIGHT_DISTANT, LIGHT_AREA, LIGHT_INFINITE, LIGHT_SPOT,
  LIGHT_GONIO, LIGHT_PROJECTION) = range(7)
 
-CAM_PERSPECTIVE, CAM_ORTHOGRAPHIC, CAM_ENVIRONMENT = range(3)
+CAM_PERSPECTIVE, CAM_ORTHOGRAPHIC, CAM_ENVIRONMENT, CAM_REALISTIC = range(4)
 
 FILTER_BOX, FILTER_TRIANGLE, FILTER_GAUSSIAN, FILTER_MITCHELL, FILTER_SINC = range(5)
 _FILTER_IDS = {"box": FILTER_BOX, "triangle": FILTER_TRIANGLE,
@@ -172,6 +172,9 @@ class CameraConfig:
     shutter_open: float
     shutter_close: float
     fov: float
+    lens_data: np.ndarray = None  # (E,4) lens stack (realistic camera)
+    lens_z: np.ndarray = None     # (E,) interface vertex z positions
+    film_diag: float = 0.035      # physical film diagonal in meters
 
 
 @dataclass
@@ -832,7 +835,7 @@ def flatten(desc: SceneDescription, scene_dir: str = ".") -> FlatScene:
 
     # 4. camera / film / sampler / integrator configs
     film = _film_config(desc)
-    camera = _camera_config(desc, film)
+    camera = _camera_config(desc, film, scene_dir)
     sampler = _sampler_config(desc)
     integ = _integrator_config(desc)
 
@@ -907,14 +910,37 @@ def _film_config(desc: SceneDescription) -> FilmConfig:
     )
 
 
-def _camera_config(desc: SceneDescription, film: FilmConfig) -> CameraConfig:
+def _camera_config(desc: SceneDescription, film: FilmConfig,
+                   scene_dir: str = ".") -> CameraConfig:
     p = desc.camera_params
     name = desc.camera_name
     ctype = {"perspective": CAM_PERSPECTIVE, "orthographic": CAM_ORTHOGRAPHIC,
-             "environment": CAM_ENVIRONMENT}.get(name)
+             "environment": CAM_ENVIRONMENT,
+             "realistic": CAM_REALISTIC}.get(name)
     if ctype is None:
         warnings.warn(f"camera {name!r} not yet supported; using perspective")
         ctype = CAM_PERSPECTIVE
+    lens_data = lens_z = None
+    if ctype == CAM_REALISTIC:
+        # lens stack + paraxial focusing (realistic.cpp:42-70)
+        from tpupt.cameras.realistic import (element_z_positions,
+                                             focus_thick_lens,
+                                             load_lens_file)
+
+        lf = p.find_one_string("lensfile", "")
+        path = lf if os.path.isabs(lf) else os.path.join(scene_dir, lf)
+        if lf and os.path.isfile(path):
+            lens_data = load_lens_file(path)
+            ap_d = p.find_one_float("aperturediameter", 1.0) * 1e-3
+            stop = lens_data[:, 0] == 0
+            lens_data[stop, 3] = np.minimum(lens_data[stop, 3], ap_d / 2)
+            fd = p.find_one_float("focusdistance", 10.0)
+            lens_data = focus_thick_lens(lens_data, fd)
+            lens_z = element_z_positions(lens_data)
+        else:
+            warnings.warn(f"realistic camera: lensfile {lf!r} not found; "
+                          "using perspective")
+            ctype = CAM_PERSPECTIVE
     fov = p.find_one_float("fov", 90.0)
     aspect = p.find_one_float("frameaspectratio", film.xres / film.yres)
     sw = p.find_floats("screenwindow")
@@ -945,6 +971,9 @@ def _camera_config(desc: SceneDescription, film: FilmConfig) -> CameraConfig:
         shutter_open=p.find_one_float("shutteropen", 0.0),
         shutter_close=p.find_one_float("shutterclose", 1.0),
         fov=fov,
+        lens_data=lens_data,
+        lens_z=lens_z,
+        film_diag=film.diagonal * 1e-3,
     )
 
 
