@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpupt.accel import traverse as trav
+from tpupt.core import rng as rngm
 from tpupt.ops import traverse_pallas
 from tpupt.cameras.perspective import generate_rays
 from tpupt.core.sampling import power_heuristic
@@ -382,16 +383,85 @@ def path_li(ds: DeviceScene, st: SceneStatics, sampler: WavefrontSampler,
         cos_w = absdot(wi_w, sp.ns)
         ok = bs.pdf > 1e-9
         thru = bs.f * (cos_w / jnp.maximum(bs.pdf, 1e-9))[..., None]
+        spawn_p, spawn_ng = sp.p, sp.ng
+        bs_specular, bs_pdf = bs.specular, bs.pdf
+
+        if "sss" in st.mat_features:
+            # BSSRDF: lanes that transmitted through a subsurface interface
+            # resume the path at a Burley-sampled exit point with its own
+            # NEE + Sw exit lobe (path.cpp:167-189; bssrdf.cpp Sample_S)
+            from tpupt.materials.bssrdf import sss_exit, sw_lobe
+            from tpupt.core.sampling import cosine_sample_hemisphere
+
+            is_sss = ((mp.type == bx.MAT_SUBSURFACE)
+                      | (mp.type == bx.MAT_KDSUBSURFACE))
+            entered = (alive & ok & is_sss
+                       & (bs.wi[..., 2] * wo_l[..., 2] < 0.0))
+            key_sss = rngm.hash_combine(
+                rngm.hash_combine(px.astype(jnp.uint32) * 7919
+                                  + py.astype(jnp.uint32),
+                                  jnp.uint32(sample_idx)),
+                jnp.uint32(1000 + bounce))
+            pe, ne, w_prof, c_norm, ok_sss = sss_exit(
+                ds, st, isect, mp, sp, entered, key_sss)
+            eta1 = mp.eta[..., 0]
+            beta_exit = beta * thru * w_prof  # throughput AT the exit vertex
+            te, be_ = bx.coordinate_system(ne)
+
+            # --- NEE at the exit vertex (UniformSampleOneLight) ---
+            if st.n_lights > 0:
+                u_n0 = rngm.uniform_float(key_sss, 110)
+                lid_e, pmf_e = pick_light(u_n0, pe)
+                ls_e = sample_li(ds, st, lid_e, pe,
+                                 rngm.uniform_float(key_sss, 111),
+                                 rngm.uniform_float(key_sss, 112))
+                cos_e = dot(ls_e.wi, ne)
+                f_sw = sw_lobe(eta1, c_norm, cos_e)
+                can_e = (entered & ok_sss & (ls_e.pdf > 0.0)
+                         & (cos_e > 1e-6))
+                o_she = offset_ray_origin(pe, ne, ls_e.wi)
+                occ_e, _ = intersect_p(
+                    ds, st, o_she, ls_e.wi,
+                    jnp.where(can_e, ls_e.dist * 0.997, 0.0))
+                w_mis = jnp.where(ls_e.is_delta, 1.0, power_heuristic(
+                    1.0, ls_e.pdf, 1.0, jnp.maximum(cos_e, 0.0) / jnp.pi))
+                contrib_e = beta_exit * (f_sw * cos_e * w_mis / jnp.maximum(
+                    ls_e.pdf * pmf_e, 1e-12))[..., None] * ls_e.li
+                L = L + jnp.where((can_e & ~occ_e)[..., None], contrib_e,
+                                  0.0)
+
+            # --- Sw exit continuation: cosine hemisphere at ne ---
+            wi_le = cosine_sample_hemisphere(
+                rngm.uniform_float(key_sss, 104),
+                rngm.uniform_float(key_sss, 105))
+            wi_sss = bx.to_world(te, be_, ne, wi_le)
+            pdf_sss = jnp.maximum(wi_le[..., 2] / jnp.pi, 1e-9)
+            f_cont = sw_lobe(eta1, c_norm, wi_le[..., 2])
+            # thru at exit = w_prof * Sw * cos / pdf
+            thru_sss = w_prof * (f_cont * wi_le[..., 2]
+                                 / pdf_sss)[..., None]
+            wi_w = jnp.where(entered[..., None], wi_sss, wi_w)
+            thru = jnp.where(entered[..., None],
+                             jnp.where(ok_sss[..., None], thru * thru_sss,
+                                       0.0),
+                             thru)
+            spawn_p = jnp.where(entered[..., None], pe, spawn_p)
+            spawn_ng = jnp.where(entered[..., None], ne, spawn_ng)
+            bs_specular = jnp.where(entered, False, bs_specular)
+            bs_pdf = jnp.where(entered, pdf_sss, bs_pdf)
+            ok = ok & (~entered | ok_sss)
+
         beta = beta * jnp.where((ok & alive)[..., None], thru,
                                 jnp.where(alive[..., None], 0.0, 1.0))
         alive = alive & ok & (jnp.max(beta, -1) > 0.0)
         eta_scale = s.eta_scale * jnp.where(alive, bs.eta_scale, 1.0)
-        prev_specular = jnp.where(alive, bs.specular, s.prev_specular)
-        prev_pdf = jnp.where(alive, jnp.maximum(bs.pdf, 1e-12), s.prev_pdf)
-        prev_p = jnp.where(alive[..., None], sp.p, s.prev_p)
+        prev_specular = jnp.where(alive, bs_specular, s.prev_specular)
+        prev_pdf = jnp.where(alive, jnp.maximum(bs_pdf, 1e-12), s.prev_pdf)
+        prev_p = jnp.where(alive[..., None], spawn_p, s.prev_p)
 
         # ---- spawn next ray ----
-        o = jnp.where(alive[..., None], offset_ray_origin(sp.p, sp.ng, wi_w), o)
+        o = jnp.where(alive[..., None],
+                      offset_ray_origin(spawn_p, spawn_ng, wi_w), o)
         d = jnp.where(alive[..., None], wi_w, d)
 
         # ---- russian roulette (path.cpp:193-199) ----

@@ -34,7 +34,7 @@ INV_PI = 0.3183098861837907
 
 (MAT_MATTE, MAT_PLASTIC, MAT_MIRROR, MAT_GLASS, MAT_METAL, MAT_UBER,
  MAT_SUBSTRATE, MAT_TRANSLUCENT, MAT_NONE, MAT_DISNEY, MAT_HAIR,
- MAT_MIX) = range(12)
+ MAT_MIX, MAT_SUBSURFACE, MAT_KDSUBSURFACE) = range(14)
 
 
 class MatParams(NamedTuple):
@@ -650,6 +650,8 @@ def sample(mp: MatParams, wo, u_lobe, u1, u2, features=frozenset()):
         (MAT_GLASS, wi_glass, True),
         (MAT_TRANSLUCENT, wi_tr, False),
         (MAT_NONE, wi_none, True),
+        (MAT_SUBSURFACE, wi_glass, True),
+        (MAT_KDSUBSURFACE, wi_glass, True),
     ]
     if "disney" in features:
         # lobe choice: diffuse / GGX-aniso VNDF / GTR1 clearcoat
@@ -714,12 +716,23 @@ def sample(mp: MatParams, wo, u_lobe, u1, u2, features=frozenset()):
     f_none = jnp.ones((n, 3)) / aci[..., None]
     pdf_none = jnp.ones(n)
 
+    # subsurface interface: Fresnel specular reflect / enter-the-medium
+    # split with unit transmit throughput (the Burley BSSRDF exit sampling
+    # in the integrator supplies the S-weight; materials/subsurface.cpp
+    # attaches a specular interface the same way)
+    f_sss = jnp.where(choose_refl[..., None],
+                      (F_glass / aci)[..., None] * jnp.ones((n, 3)),
+                      ((1.0 - F_glass) / aci)[..., None] * jnp.ones((n, 3)))
+    pdf_sss = jnp.where(choose_refl, F_glass, 1.0 - F_glass)
+
     f = f_nd
     pdf = pdf_nd
     for tid, tf, tp in (
         (MAT_MIRROR, f_mirror, pdf_mirror),
         (MAT_GLASS, f_glass, pdf_glass),
         (MAT_NONE, f_none, pdf_none),
+        (MAT_SUBSURFACE, f_sss, pdf_sss),
+        (MAT_KDSUBSURFACE, f_sss, pdf_sss),
     ):
         sel = t == tid
         f = jnp.where(sel[..., None], tf, f)

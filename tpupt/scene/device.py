@@ -12,7 +12,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpupt.accel.bvh import BVHArrays, build_bvh, scene_prim_bounds
-from tpupt.scene.flatten import MAT_DISNEY, MAT_HAIR, MAT_MIX, FlatScene
+from tpupt.scene.flatten import (MAT_DISNEY, MAT_HAIR, MAT_KDSUBSURFACE,
+                                 MAT_MIX, MAT_SUBSURFACE, FlatScene)
 
 
 class DeviceScene(NamedTuple):
@@ -364,7 +365,9 @@ def upload(scene: FlatScene, bvh: BVHArrays = None,
             (m.kd_tex >= 0).any() or (m.ks_tex >= 0).any()),
         mat_features=frozenset(
             name for name, tid in (("disney", MAT_DISNEY),
-                                   ("hair", MAT_HAIR), ("mix", MAT_MIX))
+                                   ("hair", MAT_HAIR), ("mix", MAT_MIX),
+                                   ("sss", MAT_SUBSURFACE),
+                                   ("sss", MAT_KDSUBSURFACE))
             if (m.type == tid).any()),
         spatial_lights=light_grid_cdf.shape[0] > 1,
         has_light_imgs=bool((lt.img_off >= 0).any()),

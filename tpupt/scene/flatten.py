@@ -27,15 +27,25 @@ from tpupt.scene.plyio import read_ply
 
 (MAT_MATTE, MAT_PLASTIC, MAT_MIRROR, MAT_GLASS, MAT_METAL, MAT_UBER,
  MAT_SUBSTRATE, MAT_TRANSLUCENT, MAT_NONE, MAT_DISNEY, MAT_HAIR,
- MAT_MIX) = range(12)
+ MAT_MIX, MAT_SUBSURFACE, MAT_KDSUBSURFACE) = range(14)
 
 _MATERIAL_IDS = {
     "matte": MAT_MATTE, "plastic": MAT_PLASTIC, "mirror": MAT_MIRROR,
     "glass": MAT_GLASS, "metal": MAT_METAL, "uber": MAT_UBER,
     "substrate": MAT_SUBSTRATE, "translucent": MAT_TRANSLUCENT,
     "none": MAT_NONE, "": MAT_NONE, "disney": MAT_DISNEY,
-    "hair": MAT_HAIR, "mix": MAT_MIX,
+    "hair": MAT_HAIR, "mix": MAT_MIX, "subsurface": MAT_SUBSURFACE,
+    "kdsubsurface": MAT_KDSUBSURFACE,
 }
+
+
+def _burley_d(rho, mfp):
+    """Diffusion radius d from albedo + mean free path (Christensen-Burley
+    2015 eq. 8: s = 1.85 - rho + 7|rho - 0.8|^3; pbrt's BSSRDF table plays
+    this role for the reference, core/bssrdf.cpp ComputeBeamDiffusionBSSRDF)."""
+    rho = np.clip(np.asarray(rho, np.float64), 1e-4, 1.0)
+    s = 1.85 - rho + 7.0 * np.abs(rho - 0.8) ** 3
+    return np.maximum(np.asarray(mfp, np.float64), 1e-6) / s
 
 (LIGHT_POINT, LIGHT_DISTANT, LIGHT_AREA, LIGHT_INFINITE, LIGHT_SPOT,
  LIGHT_GONIO, LIGHT_PROJECTION) = range(7)
@@ -435,6 +445,37 @@ class _MaterialTable:
             row["extra"][0] = _resolve_float(p, "beta_m", 0.3, self.textures, ctx)
             row["extra"][1] = _resolve_float(p, "beta_n", 0.3, self.textures, ctx)
             row["extra"][2] = _resolve_float(p, "alpha", 2.0, self.textures, ctx)
+        elif t in (MAT_SUBSURFACE, MAT_KDSUBSURFACE):
+            # materials/subsurface.cpp + kdsubsurface.cpp: store the diffuse
+            # reflectance rho and per-channel Burley diffusion radius d in
+            # extra[0:3]; the surface interface keeps eta + roughness
+            row["eta"] = np.full(3, _resolve_float(
+                p, "eta", 1.33 if t == MAT_SUBSURFACE else 1.3,
+                self.textures, ctx))
+            row["roughness"] = _resolve_float(p, "uroughness", 0.0,
+                                              self.textures, ctx)
+            row["remap"] = p.find_one_bool("remaproughness", True)
+            scale = p.find_one_float("scale", 1.0)
+            if t == MAT_SUBSURFACE:
+                sig_a = np.asarray(_resolve_spectrum(
+                    p, "sigma_a", [0.0011, 0.0024, 0.014], self.textures,
+                    ctx)) * scale
+                sig_s = np.asarray(_resolve_spectrum(
+                    p, "sigma_prime_s", [2.55, 3.21, 3.77], self.textures,
+                    ctx)) * scale
+                sig_t = np.maximum(sig_a + sig_s, 1e-6)
+                alpha = sig_s / sig_t
+                # single-scatter albedo -> diffuse reflectance mapping
+                # (stands in for the reference's tabulated inversion,
+                # bssrdf.cpp ComputeBeamDiffusionBSSRDF / SubsurfaceFromDiffuse)
+                rho = np.clip(alpha * (0.5 + 0.5 * alpha ** 3), 0.0, 0.995)
+                mfp = 1.0 / sig_t
+            else:
+                rho = np.clip(np.asarray(_resolve_spectrum(
+                    p, "Kd", [0.5] * 3, self.textures, ctx)), 0.0, 0.995)
+                mfp = np.full(3, p.find_one_float("mfp", 1.0))
+            row["kd"] = rho
+            row["extra"][0:3] = _burley_d(rho, mfp)
         elif t == MAT_MIX:
             # mixmat.cpp: scale two named materials by amount / (1-amount)
             amt = np.asarray(_resolve_spectrum(p, "amount", [0.5] * 3,
