@@ -123,7 +123,8 @@ def volpath_li(ds, st, sampler, medium: MediumParams, max_depth: int,
         # ---- material / frames for surface lanes ----
         mp = bx.gather_mat_params(ds, sp.mat, uv=sp.uv, p=sp.p,
                                   has_textures=st.has_textures,
-                                  has_mix="mix" in st.mat_features)
+                                  has_mix="mix" in st.mat_features,
+                                  fourier_meta=st.fourier)
         t_f, b_f, n_f = bx.make_frame(sp.ns)
         wo_l = bx.to_local(t_f, b_f, n_f, wo)
 

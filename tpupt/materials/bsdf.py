@@ -34,7 +34,7 @@ INV_PI = 0.3183098861837907
 
 (MAT_MATTE, MAT_PLASTIC, MAT_MIRROR, MAT_GLASS, MAT_METAL, MAT_UBER,
  MAT_SUBSTRATE, MAT_TRANSLUCENT, MAT_NONE, MAT_DISNEY, MAT_HAIR,
- MAT_MIX, MAT_SUBSURFACE, MAT_KDSUBSURFACE) = range(14)
+ MAT_MIX, MAT_SUBSURFACE, MAT_KDSUBSURFACE, MAT_FOURIER) = range(15)
 
 
 class MatParams(NamedTuple):
@@ -56,6 +56,7 @@ class MatParams(NamedTuple):
     h: jnp.ndarray         # (N,) hair fiber offset in [-1,1] (from uv.y)
     mix_a: object = None   # child MatParams when the scene has mix materials
     mix_b: object = None
+    fourier: object = None  # shared Fourier table dict (materials/fourier.py)
 
 
 class BsdfSample(NamedTuple):
@@ -74,7 +75,7 @@ def roughness_to_alpha(r):
 
 
 def gather_mat_params(ds, mat_id, uv=None, p=None, has_textures=False,
-                      has_mix=False):
+                      has_mix=False, fourier_meta=None):
     """Gather + preprocess material rows for a hit batch. When `uv`/`p`
     are given and the scene has non-constant textures, kd/ks are evaluated
     per hit (Material::ComputeScatteringFunctions texture evaluation).
@@ -85,10 +86,13 @@ def gather_mat_params(ds, mat_id, uv=None, p=None, has_textures=False,
         extra = ds.mat_extra[mat_id]
         c1 = jnp.where(is_mix, extra[:, 1].astype(jnp.int32), mat_id)
         c2 = jnp.where(is_mix, extra[:, 2].astype(jnp.int32), mat_id)
-        mp = gather_mat_params(ds, mat_id, uv, p, has_textures)
+        mp = gather_mat_params(ds, mat_id, uv, p, has_textures,
+                               fourier_meta=fourier_meta)
         return mp._replace(
-            mix_a=gather_mat_params(ds, c1, uv, p, has_textures),
-            mix_b=gather_mat_params(ds, c2, uv, p, has_textures))
+            mix_a=gather_mat_params(ds, c1, uv, p, has_textures,
+                                    fourier_meta=fourier_meta),
+            mix_b=gather_mat_params(ds, c2, uv, p, has_textures,
+                                    fourier_meta=fourier_meta))
     rough = ds.mat_roughness[mat_id]
     ur = ds.mat_urough[mat_id]
     vr = ds.mat_vrough[mat_id]
@@ -126,6 +130,9 @@ def gather_mat_params(ds, mat_id, uv=None, p=None, has_textures=False,
         rough=rough,
         h=(jnp.clip(-1.0 + 2.0 * uv[..., 1], -1.0, 1.0) if uv is not None
            else jnp.zeros_like(rough)),
+        fourier=(dict(mu=ds.four_mu, a=ds.four_a, m=ds.four_m,
+                      aoffset=ds.four_aoff, **fourier_meta)
+                 if fourier_meta is not None else None),
     )
 
 
@@ -558,6 +565,14 @@ def eval_pdf(mp: MatParams, wo, wi, features=frozenset()):
 
         hf, hp = hair_f_pdf(mp, wo, wi)
         lobes.append((MAT_HAIR, hf, hp))
+    if "fourier" in features and mp.fourier is not None:
+        from tpupt.materials.fourier import fourier_f
+
+        ff = fourier_f(mp.fourier, wo, wi)
+        # sampling uses a two-sided cosine hemisphere (reflection +
+        # transmission sheets; the reference importance-samples its cdf)
+        fp = 0.5 * abs_cos_theta(wi) * INV_PI
+        lobes.append((MAT_FOURIER, ff, fp))
     for tid, tf, tp in lobes:
         sel = t == tid
         f = jnp.where(sel[..., None], tf, f)
@@ -677,6 +692,10 @@ def sample(mp: MatParams, wo, u_lobe, u1, u2, features=frozenset()):
 
         wi_hair = hair_sample(mp, wo, u_lobe, u1, u2)
         wi_cands.append((MAT_HAIR, wi_hair, False))
+    if "fourier" in features and mp.fourier is not None:
+        wi_four = jnp.where((u_lobe < 0.5)[..., None],
+                            wi_diff, wi_diff * jnp.array([1.0, 1.0, -1.0]))
+        wi_cands.append((MAT_FOURIER, wi_four, False))
     if "mix" in features and mp.mix_a is not None:
         q = mp.extra[..., 0]
         pick1 = u_lobe < q

@@ -12,8 +12,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpupt.accel.bvh import BVHArrays, build_bvh, scene_prim_bounds
-from tpupt.scene.flatten import (MAT_DISNEY, MAT_HAIR, MAT_KDSUBSURFACE,
-                                 MAT_MIX, MAT_SUBSURFACE, FlatScene)
+from tpupt.scene.flatten import (MAT_DISNEY, MAT_FOURIER, MAT_HAIR,
+                                 MAT_KDSUBSURFACE, MAT_MIX, MAT_SUBSURFACE,
+                                 FlatScene)
 
 
 class DeviceScene(NamedTuple):
@@ -114,6 +115,11 @@ class DeviceScene(NamedTuple):
     # world bounds
     world_lo: jnp.ndarray
     world_hi: jnp.ndarray
+    # shared Fourier BSDF table (materials/fourier.py; dummies when absent)
+    four_mu: jnp.ndarray = None
+    four_a: jnp.ndarray = None
+    four_m: jnp.ndarray = None
+    four_aoff: jnp.ndarray = None
 
 
 class SceneStatics(NamedTuple):
@@ -133,6 +139,7 @@ class SceneStatics(NamedTuple):
     mat_features: frozenset = frozenset()
     spatial_lights: bool = False  # light_grid_cdf is a real G^3 grid
     has_light_imgs: bool = False  # gonio/projection maps present
+    fourier: object = None        # static table metadata dict or None
 
 
 def pack_prim_rows(scene: FlatScene, prim_ids: np.ndarray) -> np.ndarray:
@@ -294,6 +301,8 @@ def upload(scene: FlatScene, bvh: BVHArrays = None,
     if light_strategy == "spatial" and 0 < n_lights <= 256:
         light_grid_cdf = _spatial_light_grid(scene, lt, wlo, whi)
 
+    ft = scene.fourier_table
+
     eye = np.eye(4, dtype=np.float32)[None]
     ds = DeviceScene(
         tri_p0=jnp.asarray(_pad1(t.p0)), tri_p1=jnp.asarray(_pad1(t.p1)),
@@ -342,6 +351,11 @@ def upload(scene: FlatScene, bvh: BVHArrays = None,
         light_img_h=jnp.asarray(_pad1(lt.img_h)),
         light_img=jnp.asarray(lt.img),
         light_grid_cdf=jnp.asarray(light_grid_cdf),
+        four_mu=jnp.asarray(ft["mu"] if ft else np.zeros(1, np.float32)),
+        four_a=jnp.asarray(ft["a"] if ft else np.zeros(1, np.float32)),
+        four_m=jnp.asarray(ft["m"] if ft else np.zeros(1, np.int32)),
+        four_aoff=jnp.asarray(ft["aoffset"] if ft
+                              else np.zeros(1, np.int32)),
         **_texture_fields(scene, m),
         **_env_fields(scene),
         cam_to_world=jnp.asarray(scene.camera.cam_to_world),
@@ -367,10 +381,14 @@ def upload(scene: FlatScene, bvh: BVHArrays = None,
             name for name, tid in (("disney", MAT_DISNEY),
                                    ("hair", MAT_HAIR), ("mix", MAT_MIX),
                                    ("sss", MAT_SUBSURFACE),
-                                   ("sss", MAT_KDSUBSURFACE))
+                                   ("sss", MAT_KDSUBSURFACE),
+                                   ("fourier", MAT_FOURIER))
             if (m.type == tid).any()),
         spatial_lights=light_grid_cdf.shape[0] > 1,
         has_light_imgs=bool((lt.img_off >= 0).any()),
+        fourier=(dict(m_max=ft["m_max"], n_mu=ft["n_mu"],
+                      n_channels=ft["n_channels"], eta=ft["eta"])
+                 if ft else None),
     )
     return ds, statics
 

@@ -27,7 +27,7 @@ from tpupt.scene.plyio import read_ply
 
 (MAT_MATTE, MAT_PLASTIC, MAT_MIRROR, MAT_GLASS, MAT_METAL, MAT_UBER,
  MAT_SUBSTRATE, MAT_TRANSLUCENT, MAT_NONE, MAT_DISNEY, MAT_HAIR,
- MAT_MIX, MAT_SUBSURFACE, MAT_KDSUBSURFACE) = range(14)
+ MAT_MIX, MAT_SUBSURFACE, MAT_KDSUBSURFACE, MAT_FOURIER) = range(15)
 
 _MATERIAL_IDS = {
     "matte": MAT_MATTE, "plastic": MAT_PLASTIC, "mirror": MAT_MIRROR,
@@ -35,7 +35,7 @@ _MATERIAL_IDS = {
     "substrate": MAT_SUBSTRATE, "translucent": MAT_TRANSLUCENT,
     "none": MAT_NONE, "": MAT_NONE, "disney": MAT_DISNEY,
     "hair": MAT_HAIR, "mix": MAT_MIX, "subsurface": MAT_SUBSURFACE,
-    "kdsubsurface": MAT_KDSUBSURFACE,
+    "kdsubsurface": MAT_KDSUBSURFACE, "fourier": MAT_FOURIER,
 }
 
 
@@ -238,6 +238,7 @@ class FlatScene:
     textures: Optional[dict] = None       # flat texture tables (numpy)
     media: Optional[dict] = None          # named MediumRecords (host objects)
     env_map: Optional[np.ndarray] = None  # (H, W, 3) equirect radiance
+    fourier_table: Optional[dict] = None  # shared .bsdf table (fourier.py)
     env_light_id: int = -1                # light row using the env map
     env_w2l: Optional[np.ndarray] = None  # (3,3) world-to-light rotation
 
@@ -476,6 +477,11 @@ class _MaterialTable:
                 mfp = np.full(3, p.find_one_float("mfp", 1.0))
             row["kd"] = rho
             row["extra"][0:3] = _burley_d(rho, mfp)
+        elif t == MAT_FOURIER:
+            # materials/fourier.cpp: tabulated BSDF from a .bsdf file; the
+            # table itself is attached scene-wide at flatten() (one table
+            # per scene in this round)
+            row["fourier_file"] = p.find_one_string("bsdffile", "")
         elif t == MAT_MIX:
             # mixmat.cpp: scale two named materials by amount / (1-amount)
             amt = np.asarray(_resolve_spectrum(p, "amount", [0.5] * 3,
@@ -880,13 +886,31 @@ def flatten(desc: SceneDescription, scene_dir: str = ".") -> FlatScene:
     sampler = _sampler_config(desc)
     integ = _integrator_config(desc)
 
+    # shared Fourier BSDF table (one .bsdf file per scene this round)
+    fourier_table = None
+    for row in mats.rows:
+        fn = (row or {}).get("fourier_file")
+        if fn:
+            from tpupt.materials.fourier import read_bsdf_file
+
+            path = fn if os.path.isabs(fn) else os.path.join(scene_dir, fn)
+            if os.path.isfile(path):
+                t = read_bsdf_file(path)
+                if t is not None:
+                    if fourier_table is not None:
+                        warnings.warn("multiple .bsdf files; using the first")
+                    else:
+                        fourier_table = t
+            else:
+                warnings.warn(f"fourier bsdffile {fn!r} not found")
+
     return FlatScene(tris, spheres, mats.finalize(), lights, camera, film,
                      sampler, integ, desc.accelerator_name,
                      desc.accelerator_params,
                      textures=tex_table.arrays(),
                      media=dict(desc.media),
                      env_map=env_state["map"], env_light_id=env_state["id"],
-                     env_w2l=env_state["w2l"])
+                     env_w2l=env_state["w2l"], fourier_table=fourier_table)
 
 
 def with_resolution(scene: FlatScene, xres: int, yres: int) -> FlatScene:
