@@ -111,3 +111,39 @@ def test_env_map_infinite_light(tmp_path):
     bottom = img[10:].mean(0).mean(0)
     np.testing.assert_allclose(top, [2.0, 1.0, 0.5], rtol=0.05)
     np.testing.assert_allclose(bottom, 0.0, atol=1e-5)
+
+
+def test_mipmap_trilinear_selection(tmp_path):
+    """Wide footprints read coarse mip levels (MIPMap::Lookup, mipmap.h):
+    width -> 1 collapses a checker image to its average."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tpupt.utils import imageio
+    from tpupt.textures.textures import TextureTable, eval_texture
+    from tpupt.scene.api import TextureDef
+    from tpupt.scene.params import ParamSet
+
+    img = (np.indices((16, 16)) // 4).sum(0) % 2  # 4-texel checker
+    rgb = np.repeat(img[:, :, None], 3, -1).astype(np.float32)
+    p = tmp_path / "checker.pfm"
+    imageio.write_pfm(str(p), rgb)
+    ps = ParamSet()
+    ps.add("string filename", [str(p)])
+    tbl = TextureTable()
+    from tpupt.core.transforms import Transform
+
+    tbl._add("t", TextureDef("tex", "spectrum", "imagemap", ps,
+                             Transform()), {}, str(tmp_path))
+    tx = {k: jnp.asarray(v) for k, v in tbl.arrays().items()}
+    n = 64
+    rng = np.random.default_rng(0)
+    uv = jnp.asarray(rng.uniform(0, 1, (n, 2)).astype(np.float32))
+    pw = jnp.zeros((n, 3))
+    tid = jnp.zeros(n, jnp.int32)
+    # coarse: full-image footprint -> ~0.5 everywhere (checker average)
+    coarse = np.array(eval_texture(tx, tid, uv, pw, width=jnp.ones(n)))
+    np.testing.assert_allclose(coarse, 0.5, atol=0.05)
+    # fine: sub-texel footprint -> binary checker values
+    fine = np.array(eval_texture(tx, tid, uv, pw,
+                                 width=jnp.full(n, 1e-6)))
+    assert fine.std() > 0.2

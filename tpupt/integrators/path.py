@@ -350,10 +350,31 @@ def path_li(ds: DeviceScene, st: SceneStatics, sampler: WavefrontSampler,
         ub = u_all[jnp.minimum(bounce, max(max_depth - 1, 0))]
 
         # ---- material gather + local frame ----
+        # ray-cone texture footprint for mip selection (the wavefront
+        # stand-in for RayDifferential::ScaleDifferentials): pixel cone
+        # angle x hit distance x the hit triangle's uv density
+        tex_width = None
+        if st.has_textures:
+            pix_cone = jnp.linalg.norm(ds.raster_to_camera[:3, 1])
+            prim0 = jnp.maximum(hit.prim, 0)
+            tid0 = jnp.clip(prim0, 0, max(st.n_tris - 1, 0))
+            e1 = ds.tri_p1[tid0] - ds.tri_p0[tid0]
+            e2 = ds.tri_p2[tid0] - ds.tri_p0[tid0]
+            w_area = 0.5 * jnp.linalg.norm(jnp.cross(e1, e2), axis=-1)
+            du1 = ds.tri_uv1[tid0] - ds.tri_uv0[tid0]
+            du2 = ds.tri_uv2[tid0] - ds.tri_uv0[tid0]
+            uv_area = 0.5 * jnp.abs(du1[..., 0] * du2[..., 1]
+                                    - du1[..., 1] * du2[..., 0])
+            dens = jnp.sqrt(uv_area / jnp.maximum(w_area, 1e-12))
+            dens = jnp.where(prim0 < st.n_tris, dens, 1.0)
+            t_hit = jnp.where(hit.valid, hit.t, 1.0)
+            tex_width = pix_cone * t_hit * dens
+
         mp = bx.gather_mat_params(ds, sp.mat, uv=sp.uv, p=sp.p,
                                   has_textures=st.has_textures,
                                   has_mix="mix" in st.mat_features,
-                                  fourier_meta=st.fourier)
+                                  fourier_meta=st.fourier,
+                                  tex_width=tex_width)
         t_f, b_f, n_f = bx.make_frame(sp.ns)
         wo_l = bx.to_local(t_f, b_f, n_f, wo)
 

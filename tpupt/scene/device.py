@@ -115,6 +115,9 @@ class DeviceScene(NamedTuple):
     # world bounds
     world_lo: jnp.ndarray
     world_hi: jnp.ndarray
+    # mip pyramid tables (textures/textures.py; trilinear lookup)
+    tex_mip_off: jnp.ndarray = None  # (T,16) per-level atlas offsets
+    tex_mips: jnp.ndarray = None     # (T,) level counts
     # shared Fourier BSDF table (materials/fourier.py; dummies when absent)
     four_mu: jnp.ndarray = None
     four_a: jnp.ndarray = None
@@ -403,6 +406,8 @@ def _texture_fields(scene: FlatScene, m) -> dict:
         tex_f1=np.zeros(1, np.float32), tex_f2=np.zeros(1, np.float32),
         tex_img_off=np.zeros(1, np.int32), tex_img_w=np.zeros(1, np.int32),
         tex_img_h=np.zeros(1, np.int32),
+        tex_mip_off=np.zeros((1, 16), np.int32),
+        tex_mips=np.ones(1, np.int32),
         tex_atlas=np.full((1, 3), 0.5, np.float32),
     )
     out = {k: jnp.asarray(tx.get(k, v)) for k, v in defaults.items()}

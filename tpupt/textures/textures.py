@@ -47,6 +47,8 @@ class TextureTable:
         self.img_h: List[int] = []
         self.atlas: List[np.ndarray] = []
         self.atlas_len = 0
+        self.mip_off: List[np.ndarray] = []   # (MAX_MIP,) atlas offsets/level
+        self.mips: List[int] = []
         self.name_to_id: Dict[str, int] = {}
 
     @staticmethod
@@ -98,9 +100,25 @@ class TextureTable:
                 row["off"] = self.atlas_len
                 row["w"] = img.shape[1]
                 row["h"] = img.shape[0]
-                flat = img.reshape(-1, 3).astype(np.float32)
-                self.atlas.append(flat)
-                self.atlas_len += len(flat)
+                # mip pyramid: box-filtered halvings down to 1x1, levels
+                # stored back-to-back in the atlas (MIPMap ctor, mipmap.h)
+                lvl = img.astype(np.float32)
+                offs = []
+                while True:
+                    offs.append(self.atlas_len)
+                    flat = lvl.reshape(-1, 3).astype(np.float32)
+                    self.atlas.append(flat)
+                    self.atlas_len += len(flat)
+                    h_, w_ = lvl.shape[:2]
+                    if w_ <= 1 and h_ <= 1:
+                        break
+                    w2, h2 = max(w_ // 2, 1), max(h_ // 2, 1)
+                    sy = 2 if h_ > 1 else 1
+                    sx = 2 if w_ > 1 else 1
+                    lvl = lvl[: h2 * sy, : w2 * sx].reshape(
+                        h2, sy, w2, sx, 3).mean((1, 3))
+                row["mip_off"] = offs
+                row["mips"] = len(offs)
         elif ttype in (TEX_FBM, TEX_WRINKLED):
             row["f1"] = float(p.find_one_int("octaves", 8))
             row["f2"] = p.find_one_float("roughness", 0.5)
@@ -117,6 +135,13 @@ class TextureTable:
         self.img_off.append(row["off"])
         self.img_w.append(row["w"])
         self.img_h.append(row["h"])
+        mo = np.full(16, row["off"], np.int64)
+        offs = row.get("mip_off", [])
+        mo[: min(len(offs), 16)] = offs[:16]
+        if offs:
+            mo[len(offs):] = offs[-1]  # clamp to the 1x1 level
+        self.mip_off.append(mo)
+        self.mips.append(row.get("mips", 1))
 
     def arrays(self):
         n = max(len(self.type), 1)
@@ -136,6 +161,9 @@ class TextureTable:
             tex_img_off=np.asarray(self.img_off or [0], np.int32),
             tex_img_w=np.asarray(self.img_w or [0], np.int32),
             tex_img_h=np.asarray(self.img_h or [0], np.int32),
+            tex_mip_off=(np.stack(self.mip_off).astype(np.int32)
+                         if self.mip_off else np.zeros((1, 16), np.int32)),
+            tex_mips=np.asarray(self.mips or [1], np.int32),
             tex_atlas=atlas,
         )
 
@@ -234,11 +262,13 @@ def turbulence(p, omega, octaves: int):
 # ------------------------------ evaluation ----------------------------------
 
 
-def eval_texture(tx, tex_id, uv, p_world):
+def eval_texture(tx, tex_id, uv, p_world, width=None):
     """Evaluate texture rows for a hit batch. tx: dict of jnp arrays from
     TextureTable.arrays(); tex_id (N,) i32 (valid ids); uv (N,2); p (N,3).
-    Returns (N,3). Computes every texture type once and selects (few types,
-    VPU-friendly)."""
+    `width` (N,) is the uv-space footprint for mip selection (mipmap.h
+    Lookup(st, width): level = nLevels - 1 + log2(max(width, eps))); None
+    reads level 0. Returns (N,3). Computes every texture type once and
+    selects (few types, VPU-friendly)."""
     t = tx["tex_type"][tex_id]
     v1 = tx["tex_v1"][tex_id]
     v2 = tx["tex_v2"][tex_id]
@@ -301,31 +331,49 @@ def eval_texture(tx, tex_id, uv, p_world):
         [0.58 + 0.38 * marb01, 0.58 + 0.30 * marb01, 0.6 + 0.25 * marb01], -1)
     out = jnp.where((t == TEX_MARBLE)[:, None], marble_col, out)
 
-    # imagemap: bilinear fetch from the flat atlas
+    # imagemap: TRILINEAR fetch from the mip pyramid (MIPMap::Lookup,
+    # mipmap.h: bilinear at the two bracketing levels, lerped)
     w_img = tx["tex_img_w"][tex_id]
     h_img = tx["tex_img_h"][tex_id]
-    off = tx["tex_img_off"][tex_id]
+    mips = tx["tex_mips"][tex_id]
+    mip_off = tx["tex_mip_off"][tex_id]  # (N,16)
     has_img = w_img > 0
     wu = u - jnp.floor(u)
     wv = v - jnp.floor(v)
-    fx = wu * jnp.maximum(w_img, 1) - 0.5
-    fy = (1.0 - wv) * jnp.maximum(h_img, 1) - 0.5  # v=0 at image bottom
-    x0 = jnp.floor(fx)
-    y0 = jnp.floor(fy)
-    ax = (fx - x0)[:, None]
-    ay = (fy - y0)[:, None]
     atlas = tx["tex_atlas"]
 
-    def texel(xi, yi):
-        xi = jnp.clip(xi.astype(jnp.int32) % jnp.maximum(w_img, 1), 0, None)
-        yi = jnp.clip(yi.astype(jnp.int32) % jnp.maximum(h_img, 1), 0, None)
-        idx = jnp.clip(off + yi * w_img + xi, 0, atlas.shape[0] - 1)
-        return atlas[idx]
+    def fetch_level(lvl):
+        off_l = jnp.take_along_axis(mip_off, lvl[:, None], 1)[:, 0]
+        w_l = jnp.maximum(jnp.right_shift(w_img, lvl), 1)
+        h_l = jnp.maximum(jnp.right_shift(h_img, lvl), 1)
+        fx = wu * w_l - 0.5
+        fy = (1.0 - wv) * h_l - 0.5  # v=0 at image bottom
+        x0 = jnp.floor(fx)
+        y0 = jnp.floor(fy)
+        ax = (fx - x0)[:, None]
+        ay = (fy - y0)[:, None]
 
-    img_val = ((1 - ax) * (1 - ay) * texel(x0, y0)
-               + ax * (1 - ay) * texel(x0 + 1, y0)
-               + (1 - ax) * ay * texel(x0, y0 + 1)
-               + ax * ay * texel(x0 + 1, y0 + 1))
+        def texel(xi, yi):
+            xi = jnp.clip(xi.astype(jnp.int32) % w_l, 0, None)
+            yi = jnp.clip(yi.astype(jnp.int32) % h_l, 0, None)
+            idx = jnp.clip(off_l + yi * w_l + xi, 0, atlas.shape[0] - 1)
+            return atlas[idx]
+
+        return ((1 - ax) * (1 - ay) * texel(x0, y0)
+                + ax * (1 - ay) * texel(x0 + 1, y0)
+                + (1 - ax) * ay * texel(x0, y0 + 1)
+                + ax * ay * texel(x0 + 1, y0 + 1))
+
+    if width is None:
+        img_val = fetch_level(jnp.zeros_like(w_img))
+    else:
+        lvl_f = (mips - 1).astype(jnp.float32) + jnp.log2(
+            jnp.maximum(width, 1e-8))
+        lvl_f = jnp.clip(lvl_f, 0.0, jnp.maximum(mips - 1, 0))
+        l0 = jnp.floor(lvl_f).astype(jnp.int32)
+        l1 = jnp.minimum(l0 + 1, jnp.maximum(mips - 1, 0))
+        tt = (lvl_f - l0)[:, None]
+        img_val = (1.0 - tt) * fetch_level(l0) + tt * fetch_level(l1)
     out = jnp.where((t == TEX_IMAGEMAP)[:, None] & has_img[:, None],
                     img_val, out)
     return out
