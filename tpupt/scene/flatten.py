@@ -539,7 +539,9 @@ def _shape_to_mesh(rec: ShapeRecord, scene_dir: str):
             warnings.warn("trianglemesh without P/indices; skipped")
             return None
         N = p.find_points("N")
-        uv = p.find_point2s("uv") or p.find_point2s("st")
+        uv = p.find_point2s("uv")
+        if uv is None:
+            uv = p.find_point2s("st")
         if uv is None:
             fl = p.find_floats("uv")
             fl = fl if fl is not None else p.find_floats("st")
