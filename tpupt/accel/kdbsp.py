@@ -224,6 +224,38 @@ def node_type_depth_maps(nodes, dirs):
     return maps
 
 
+def dump_tree(nodes, dirs, path):
+    """Full-tree text serialization (GenericBSP::operator<<,
+    genericBSP.h:107-130: direction count + directions, node count + nodes,
+    then per-leaf prim ids). Off by default in the reference too
+    (writeFile=false, api.cpp:794)."""
+    import numpy as np
+
+    flags = np.asarray(nodes["flags"])
+    split = np.asarray(nodes["split"])
+    above = np.asarray(nodes["above"])
+    nprims = np.asarray(nodes["nprims"])
+    prim_ids = np.asarray(nodes["prim_ids"])
+    per_node = "ndir" in nodes
+    d = np.asarray(dirs)
+    with open(path, "w") as f:
+        f.write(f"{len(d)}\n")
+        for row in d:
+            f.write(f"{row[0]} {row[1]} {row[2]}\n")
+        f.write(f"{len(flags)}\n")
+        nd = np.asarray(nodes["ndir"]) if per_node else None
+        for i in range(len(flags)):
+            leaf = (flags[i] == 1) if per_node else (flags[i] >= len(d))
+            if leaf:
+                ids = prim_ids[above[i]: above[i] + nprims[i]]
+                f.write("L " + " ".join(str(int(x)) for x in ids) + "\n")
+            elif per_node:
+                f.write(f"B {nd[i][0]} {nd[i][1]} {nd[i][2]} "
+                        f"{split[i]} {above[i]}\n")
+            else:
+                f.write(f"I {flags[i]} {split[i]} {above[i]}\n")
+
+
 def intersect_kdbsp(nodes, dirs, ds, st, o, d, tmax, max_leaf: int,
                     any_hit: bool = False):
     """nodes: dict of jnp arrays (flags/split/above/first/count/prim_ids);

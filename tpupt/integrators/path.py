@@ -699,13 +699,25 @@ class Renderer:
             self.cfg.xres, self.cfg.yres)
         self._spp_rendered = getattr(self, "_spp_rendered", 0) + spp
         b = self.batch
+        import time as _time
+
+        t0 = _time.time()
         for s in range(spp):
             for k in range(self.n_batches):
                 sl = slice(k * b, (k + 1) * b)
                 film = self._step(film, jnp.uint32(s), self.px[sl],
                                   self.py[sl], self.valid[sl])
             if verbose:
-                print(f"  sample {s + 1}/{spp}", flush=True)
+                # progress bar + ETA (ProgressReporter, progressreporter.h:50)
+                jax.block_until_ready(film.rgb)
+                done = s + 1
+                el = _time.time() - t0
+                eta = el / done * (spp - done)
+                nbar = 24
+                fill = int(nbar * done / spp)
+                print(f"\r  [{'+' * fill}{' ' * (nbar - fill)}] "
+                      f"{done}/{spp} spp  ({el:.1f}s | ETA {eta:.1f}s) ",
+                      end="" if done < spp else "\n", flush=True)
         return film
 
     def save_checkpoint(self, film, path: str, sample_done: int):

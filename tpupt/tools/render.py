@@ -37,6 +37,10 @@ def main(argv=None):
                     metavar=("X0", "X1", "Y0", "Y1"))
     ap.add_argument("--accelerator", default=None,
                     help="override the scene accelerator (bvh/kdtree/...)")
+    ap.add_argument("--dumptree", action="store_true",
+                    help="write the full accelerator-tree serialization "
+                         "(GenericBSP operator<<, off by default like the "
+                         "reference's writeFile)")
     args = ap.parse_args(argv)
 
     if args.quiet:
@@ -132,6 +136,13 @@ def main(argv=None):
             print(f"  {k:30s}  mean/pixel {float(v.mean()):10.2f}")
         print(f"  Timings/Buildtime               {build_s:.2f} s")
         print(f"  Timings/Rendertime              {render_s:.2f} s")
+    if args.dumptree and hasattr(r, "accel_nodes"):
+        from tpupt.accel.kdbsp import dump_tree
+
+        base_t = os.path.splitext(out)[0]
+        dump_tree(r.accel_nodes, r.accel_dirs, f"{base_t}-tree.txt")
+        if not args.quiet:
+            print(f"wrote tree serialization to {base_t}-tree.txt")
     if args.writestats:
         aov = r.aovs(film)
         base = os.path.splitext(out)[0]
