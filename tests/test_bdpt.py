@@ -78,3 +78,37 @@ def test_bdpt_splats_light_image():
     splat = np.array(film.splat)
     assert np.isfinite(splat).all()
     assert splat.sum() >= 0.0
+
+
+_ENV = """
+LookAt 0 0 4  0 0 0  0 1 0
+Camera "perspective" "float fov" [50]
+Film "image" "integer xresolution" [20] "integer yresolution" [20]
+Sampler "halton" "integer pixelsamples" [4]
+Integrator "$INT" "integer maxdepth" [3]
+WorldBegin
+LightSource "infinite" "rgb L" [0.8 0.9 1.0]
+Material "matte" "rgb Kd" [0.6 0.5 0.4]
+Shape "sphere" "float radius" [0.8]
+Shape "trianglemesh" "point P" [-4 -1 -4  4 -1 -4  4 -1 4  -4 -1 4]
+  "integer indices" [0 1 2 2 3 0]
+WorldEnd
+"""
+
+
+def test_bdpt_env_background_not_black():
+    """Escaped camera rays must carry infinite-light radiance (s == 0 with
+    an escaped endpoint vertex, bdpt.cpp:170-176) — round-1 rendered env
+    backgrounds black under BDPT."""
+    img_b = _render(_ENV, "bdpt", spp=16)
+    # background corner pixel: direct env visibility
+    assert img_b[0, 0].mean() > 0.3, "env background is black under BDPT"
+
+
+def test_bdpt_env_matches_path():
+    img_p = _render(_ENV, "path", spp=48)
+    img_b = _render(_ENV, "bdpt", spp=48)
+    assert np.isfinite(img_b).all()
+    np.testing.assert_allclose(img_b.mean(), img_p.mean(), rtol=0.10)
+    np.testing.assert_allclose(img_b.mean((0, 1)), img_p.mean((0, 1)),
+                               rtol=0.15)

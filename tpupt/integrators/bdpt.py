@@ -11,11 +11,11 @@ visibility ray is one batched any-hit query. t == 1 strategies (light path
 hits the camera lens) become film splats, exactly like the reference's
 `film->AddSplat` (bdpt.cpp:410).
 
-Light subpaths start from point/spot/area/distant lights (Sample_Le
-parity); infinite-environment light subpaths (s >= 2 from the env map) are
-not generated in this round — env contributions arrive via the s == 0 and
-s == 1 strategies, and the MIS ri-products use zero densities for the
-non-generated strategies so the estimator stays consistent.
+Light subpaths start from every light family including the environment
+(infinite.cpp Sample_Le: env-importance direction + disk origin, with the
+subpath density corrections of bdpt.cpp:124-136); escaped camera rays
+become infinite-light endpoint vertices (bdpt.cpp:170-176) so env-lit
+scenes get their s == 0 radiance with correct MIS weights.
 """
 
 from __future__ import annotations
@@ -29,7 +29,7 @@ from tpupt.core.sampling import (concentric_sample_disk,
                                  uniform_sample_triangle)
 from tpupt.core.vecmath import (coordinate_system, cross, dot, length,
                                 normalize, offset_ray_origin)
-from tpupt.integrators.path import shading_point
+from tpupt.integrators.path import miss_radiance_and_pdf, shading_point
 from tpupt.lights.lights import (_gather_tri_light_geo, _sphere_center_radius,
                                  _world_radius, emitted_radiance, sample_li)
 from tpupt.materials import bsdf as bx
@@ -49,13 +49,38 @@ def _remap0(x):
     return jnp.where(x != 0.0, x, 1.0)
 
 
-def convert_density(pdf_dir, p_from, p_to, ns_to, to_is_surface):
-    """Solid-angle -> area density (Vertex::ConvertDensity, bdpt.h:321)."""
+def convert_density(pdf_dir, p_from, p_to, ns_to, to_is_surface,
+                    to_is_infinite=None):
+    """Solid-angle -> area density (Vertex::ConvertDensity, bdpt.h:321).
+    Densities toward infinite-light vertices stay in solid angle
+    (bdpt.h:328-329)."""
     w = p_to - p_from
     d2 = jnp.maximum(dot(w, w), 1e-12)
     inv_d2 = 1.0 / d2
     cos_t = jnp.abs(dot(ns_to, w * jnp.sqrt(inv_d2)[..., None]))
-    return pdf_dir * jnp.where(to_is_surface, cos_t, 1.0) * inv_d2
+    out = pdf_dir * jnp.where(to_is_surface, cos_t, 1.0) * inv_d2
+    if to_is_infinite is not None:
+        out = jnp.where(to_is_infinite, pdf_dir, out)
+    return out
+
+
+def infinite_light_density(ds, st, d):
+    """Combined solid-angle density x choice pmf of sampling direction d
+    from the scene's infinite lights (InfiniteLightDensity, bdpt.h:113)."""
+    n = d.shape[0]
+    dens = jnp.zeros(n)
+    if st.n_lights == 0:
+        return dens
+    is_inf = ds.light_type == LIGHT_INFINITE
+    const_pmf = jnp.sum(jnp.where(is_inf, ds.light_pdf, 0.0))
+    if st.env_light_id >= 0:
+        from tpupt.lights.lights import env_pdf
+
+        env_pmf = ds.light_pdf[st.env_light_id]
+        dens = dens + env_pdf(ds, st, d) * env_pmf
+        const_pmf = const_pmf - env_pmf
+    dens = dens + INV_4PI * jnp.maximum(const_pmf, 0.0)
+    return dens
 
 
 def _g_term(ds, st, isect_p, va, vb):
@@ -100,7 +125,7 @@ def _vertex_pdf(ds, st, v, prev_p, next_v, features):
     _, pdf = bx.eval_pdf(mp, bx.to_local(t_f, b_f, n_f, wo),
                          bx.to_local(t_f, b_f, n_f, wi), features)
     return convert_density(pdf, v["p"], next_v["p"], next_v["ns"],
-                           next_v["on_surface"])
+                           next_v["on_surface"], next_v.get("infinite"))
 
 
 # --------------------------- light Sample_Le --------------------------------
@@ -175,10 +200,35 @@ def sample_le(ds, st, light_id, u0, u1, u2, u3):
     d_dist = -ldir
     pdf_pos_dist = 1.0 / (jnp.pi * wr * wr)
 
+    # infinite (env): importance-sampled direction from the map + disk
+    # origin behind the scene (infinite.cpp Sample_Le); constant infinite
+    # lights use a uniform sphere direction
+    if st.env_w > 0:
+        from tpupt.lights.lights import sample_env
+
+        wi_env, le_env, pdf_env = sample_env(ds, st, u2, u3)
+    else:
+        wi_env = d_pt
+        le_env = jnp.zeros((n, 3))
+        pdf_env = jnp.zeros(n)
+    is_env_l = (light_id == st.env_light_id) if st.env_light_id >= 0 \
+        else jnp.zeros(n, bool)
+    wi_inf = jnp.where(is_env_l[..., None], wi_env, d_pt)
+    d_inf = -wi_inf
+    le_inf = jnp.where(is_env_l[..., None], le_env, lL)
+    pdf_dir_inf = jnp.where(is_env_l, pdf_env, INV_4PI)
+    t_e, b_e = coordinate_system(wi_inf)
+    p_inf = (ds.world_lo + ds.world_hi) * 0.5 + wr * (
+        wi_inf + dx[..., None] * t_e + dy[..., None] * b_e)
+
     p = jnp.where((lt == LIGHT_AREA)[..., None], p_ar,
-                  jnp.where((lt == LIGHT_DISTANT)[..., None], p_disk, lpos))
+                  jnp.where((lt == LIGHT_DISTANT)[..., None], p_disk,
+                            jnp.where((lt == LIGHT_INFINITE)[..., None],
+                                      p_inf, lpos)))
     nl = jnp.where((lt == LIGHT_AREA)[..., None], n_ar,
-                   jnp.where((lt == LIGHT_DISTANT)[..., None], -ldir, d_pt))
+                   jnp.where((lt == LIGHT_DISTANT)[..., None], -ldir,
+                             jnp.where((lt == LIGHT_INFINITE)[..., None],
+                                       d_inf, d_pt)))
     d = d_pt
     pdf_pos = jnp.ones(n)
     pdf_dir = jnp.full(n, INV_4PI)
@@ -190,8 +240,7 @@ def sample_le(ds, st, light_id, u0, u1, u2, u3):
         (LIGHT_PROJECTION, d_spot, jnp.ones(n), pdf_dir_spot, lL),
         (LIGHT_AREA, d_ar, pdf_pos_ar, pdf_dir_ar, lL),
         (LIGHT_DISTANT, d_dist, pdf_pos_dist, jnp.ones(n), lL),
-        (LIGHT_INFINITE, d_pt, jnp.zeros(n), jnp.zeros(n),
-         jnp.zeros_like(lL)),  # env subpaths not generated this round
+        (LIGHT_INFINITE, d_inf, pdf_pos_dist, pdf_dir_inf, le_inf),
     ):
         sel = lt == tid_
         d = jnp.where(sel[..., None], d_, d)
@@ -257,7 +306,9 @@ def _make_vertex(n):
                 type=jnp.zeros(n, jnp.int32), mat=jnp.zeros(n, jnp.int32),
                 light=jnp.full(n, -1, jnp.int32),
                 valid=jnp.zeros(n, bool),
-                on_surface=jnp.zeros(n, bool))
+                on_surface=jnp.zeros(n, bool),
+                infinite=jnp.zeros(n, bool),
+                escaped=jnp.zeros(n, bool))
 
 
 def random_walk(ds, st, isect, features, o, d, beta, pdf_dir, n_steps,
@@ -271,6 +322,10 @@ def random_walk(ds, st, isect, features, o, d, beta, pdf_dir, n_steps,
     alive = alive0
     prev_p, prev_ns = o, d  # prev_ns unused for the first conversion target
     pdf_w = pdf_dir
+    wr = _world_radius(ds)
+    # escaped vertices carry zero radiance when the scene has no infinite
+    # lights, so gating on n_lights keeps this jit-static
+    has_inf = st.n_lights > 0
     for i in range(n_steps):
         hit, _ = isect(ds, st, o, d, jnp.where(alive, jnp.inf, 0.0))
         sp = shading_point(ds, st, hit, o, d)
@@ -287,6 +342,17 @@ def random_walk(ds, st, isect, features, o, d, beta, pdf_dir, n_steps,
         v["valid"] = valid
         v["pdf_fwd"] = convert_density(pdf_w, o, sp.p, sp.ns,
                                        jnp.ones(n, bool))
+        if not transport_light and has_inf:
+            # escaped camera rays become infinite-light endpoint vertices
+            # (bdpt.cpp:170-176): keep the solid-angle density unconverted
+            # (ConvertDensity skips infinite lights, bdpt.h:329)
+            esc = alive & ~hit.valid
+            v["escaped"] = esc
+            v["infinite"] = esc
+            v["type"] = jnp.where(esc, VT_LIGHT, v["type"])
+            v["p"] = jnp.where(esc[..., None], o + d * (2.0 * wr), v["p"])
+            v["ns"] = jnp.where(esc[..., None], -d, v["ns"])
+            v["pdf_fwd"] = jnp.where(esc, pdf_w, v["pdf_fwd"])
 
         # sample continuation
         mp = bx.gather_mat_params(ds, sp.mat, uv=sp.uv, p=sp.p,
@@ -310,7 +376,8 @@ def random_walk(ds, st, isect, features, o, d, beta, pdf_dir, n_steps,
             prev["pdf_rev"] = jnp.where(
                 valid,
                 convert_density(pdf_rev_dir, sp.p, prev["p"], prev["ns"],
-                                prev.get("on_surface", jnp.ones(n, bool))),
+                                prev.get("on_surface", jnp.ones(n, bool)),
+                                prev.get("infinite")),
                 prev["pdf_rev"])
         v["on_surface"] = valid
         verts.append(v)
@@ -488,7 +555,9 @@ def bdpt_li(ds, st, sampler, max_depth, px, py, sample_idx, o, d,
     # MIS loop only at i == 0 (bdpt.cpp:291, bdpt.h:168 default)
     v_l0["light"] = lid
     lt0 = ds.light_type[lid]
+    lt0_inf = lt0 == LIGHT_INFINITE
     v_l0["on_surface"] = (lt0 == LIGHT_AREA) | (lt0 == LIGHT_DISTANT)
+    v_l0["infinite"] = lt0_inf
     l_alive = valid & (st.n_lights > 0) & (jnp.max(le, -1) > 0.0) \
         & (pdf_dir > 0.0)
     v_l0["valid"] = l_alive
@@ -501,6 +570,18 @@ def bdpt_li(ds, st, sampler, max_depth, px, py, sample_idx, o, d,
                              transport_light=True, prev0=v_l0)
     # the walk couldn't see v_l0: set its pdf_rev from the first bounce and
     # the first surface vertex's pdf_fwd (already area-converted)
+    # subpath density corrections for infinite lights (bdpt.cpp:124-136):
+    # the start vertex carries the combined solid-angle density, the first
+    # surface vertex the planar positional density
+    v_l0["pdf_fwd"] = jnp.where(lt0_inf,
+                                infinite_light_density(ds, st, d_l),
+                                v_l0["pdf_fwd"])
+    if light_surf:
+        s1 = light_surf[0]
+        corr = pdf_pos * jnp.where(
+            s1["on_surface"], jnp.abs(dot(d_l, s1["ns"])), 1.0)
+        s1["pdf_fwd"] = jnp.where(lt0_inf & s1["valid"], corr,
+                                  s1["pdf_fwd"])
     light_verts = [v_l0] + light_surf
 
     L = jnp.zeros((n, 3))
@@ -516,17 +597,29 @@ def bdpt_li(ds, st, sampler, max_depth, px, py, sample_idx, o, d,
         wo_pt = pt["wo"]
         le0 = emitted_radiance(ds, st, jnp.zeros(n, jnp.int32), pt["light"],
                                wo_pt, pt["ns"])
+        esc = pt["escaped"]
+        d_esc = -wo_pt
+        le_esc, _ = miss_radiance_and_pdf(ds, st, d_esc)
+        le0 = jnp.where(esc[..., None], le_esc, le0)
         c0 = pt["beta"] * le0
-        can0 = pt["valid"] & (pt["light"] >= 0) & (jnp.max(c0, -1) > 0.0)
+        can0 = ((pt["valid"] & (pt["light"] >= 0)) | esc) \
+            & (jnp.max(c0, -1) > 0.0)
         lid0 = jnp.clip(pt["light"], 0, max(st.n_lights - 1, 0))
         pmf0 = ds.light_pdf[lid0]
-        ov = {
-            "pt": pdf_light_origin(ds, st, lid0, pmf0),
-            "ptm": convert_density(
+        wr_s = _world_radius(ds)
+        # escaped endpoint: PdfLightOrigin = InfiniteLightDensity(d);
+        # PdfLight toward ptm = planar disk density (bdpt.h:371-383,400-403)
+        ov_pt = jnp.where(esc, infinite_light_density(ds, st, d_esc),
+                          pdf_light_origin(ds, st, lid0, pmf0))
+        ptm_inf = (1.0 / (jnp.pi * wr_s * wr_s)) * jnp.where(
+            ptm["on_surface"], jnp.abs(dot(ptm["ns"], d_esc)), 1.0)
+        ov_ptm = jnp.where(
+            esc, ptm_inf,
+            convert_density(
                 pdf_light_dir(ds, st, lid0, pt,
                               normalize(ptm["p"] - pt["p"])),
-                pt["p"], ptm["p"], ptm["ns"], jnp.ones(n, bool)),
-        }
+                pt["p"], ptm["p"], ptm["ns"], jnp.ones(n, bool)))
+        ov = {"pt": ov_pt, "ptm": ov_ptm}
         w0 = mis_weight(ds, st, features, cam_verts, light_verts, 0, t, ov,
                         jnp.zeros(n, bool), None)
         w0 = jnp.where(t == 2, 1.0, w0)  # directly visible light
@@ -571,20 +664,37 @@ def bdpt_li(ds, st, sampler, max_depth, px, py, sample_idx, o, d,
                 q_samp["light"] = lid1
                 q_samp["valid"] = can
                 lt1 = ds.light_type[lid1]
+                lt1_inf = lt1 == LIGHT_INFINITE
                 q_samp["on_surface"] = (lt1 == LIGHT_AREA) \
                     | (lt1 == LIGHT_DISTANT)
+                q_samp["infinite"] = lt1_inf
                 lv = [q_samp]
+                # pt reverse density: PdfLight from the sampled vertex
+                # (bdpt.cpp a3: pt->pdfRev = sampled.PdfLight(scene, *pt));
+                # infinite lights use the planar disk density (bdpt.h:371)
+                wr_s1 = _world_radius(ds)
+                pt_ov = convert_density(
+                    pdf_light_dir(ds, st, lid1, q_samp, -ls.wi),
+                    q_samp["p"], pt["p"], pt["ns"], jnp.ones(n, bool))
+                pt_ov = jnp.where(
+                    lt1_inf,
+                    (1.0 / (jnp.pi * wr_s1 * wr_s1))
+                    * jnp.abs(dot(pt["ns"], ls.wi)), pt_ov)
+                # ptm reverse density: pt->Pdf(scene, sampled, *ptMinus) —
+                # the density of scattering from the SAMPLED vertex toward
+                # ptm at pt (NOT pdf_pt_fwd, whose wo/wi are swapped and the
+                # BSDF pdfs are not symmetric)
                 ov = {
                     "qs": _vertex_pdf(ds, st, pt, ptm["p"], q_samp, features),
-                    "pt": convert_density(
-                        pdf_light_dir(ds, st, lid1, q_samp, -ls.wi),
-                        q_samp["p"], pt["p"], pt["ns"], jnp.ones(n, bool)),
-                    "ptm": convert_density(pdf_pt_fwd, pt["p"], ptm["p"],
-                                           ptm["ns"], jnp.ones(n, bool)),
+                    "pt": pt_ov,
+                    "ptm": _vertex_pdf(ds, st, pt, q_samp["p"], ptm,
+                                       features),
                 }
+                l0_fwd = jnp.where(
+                    lt1_inf, infinite_light_density(ds, st, ls.wi),
+                    pdf_light_origin(ds, st, lid1, pmf1))
                 w = mis_weight(ds, st, features, cam_verts, lv, 1, t, ov,
-                               ls.is_delta,
-                               pdf_light_origin(ds, st, lid1, pmf1))
+                               ls.is_delta, l0_fwd)
                 L = L + jnp.where(can[..., None], c * w[..., None], 0.0)
             else:
                 qs = light_verts[s - 1]
@@ -599,13 +709,17 @@ def bdpt_li(ds, st, sampler, max_depth, px, py, sample_idx, o, d,
                     "qs": _vertex_pdf(ds, st, pt, ptm["p"], qs, features),
                     "pt": convert_density(pdf_qs_fwd, qs["p"], pt["p"],
                                           pt["ns"], jnp.ones(n, bool)),
-                    "ptm": convert_density(pdf_pt_fwd, pt["p"], ptm["p"],
-                                           ptm["ns"], jnp.ones(n, bool)),
+                    # ptm.pdfRev = pt.Pdf(qs, ptMinus) (bdpt.cpp a5):
+                    # reverse density at pt with incoming from qs, NOT the
+                    # wo/wi-swapped pdf_pt_fwd (BSDF pdfs are asymmetric)
+                    "ptm": _vertex_pdf(ds, st, pt, qs["p"], ptm, features),
                     # qsMinus.pdfRev = qs.Pdf(pt, qsMinus) (bdpt.cpp:273)
                     "qsm": _vertex_pdf(ds, st, qs, pt["p"], qsm, features),
                 }
+                # IsDeltaLight includes DeltaDirection (distant) lights
+                # (bdpt.h:259, bdpt.cpp:291)
                 w = mis_weight(ds, st, features, cam_verts, light_verts,
-                               s, t, ov, delta_o, None)
+                               s, t, ov, delta_o | delta_d, None)
                 L = L + jnp.where(can[..., None], c * w[..., None], 0.0)
 
     # ---- t == 1: light subpath to the camera lens (bdpt.cpp:410) ----
@@ -636,7 +750,7 @@ def bdpt_li(ds, st, sampler, max_depth, px, py, sample_idx, o, d,
             "qsm": _vertex_pdf(ds, st, qs, cam_pos, qsm, features),
         }
         w = mis_weight(ds, st, features, [v_cam0], light_verts, s, 1, ov,
-                       delta_o, None)
+                       delta_o | delta_d, None)
         splat_p.append(jnp.where(can[..., None], praster, -1.0))
         splat_L.append(jnp.where(can[..., None], c * w[..., None], 0.0))
 

@@ -12,10 +12,12 @@ import numpy as np
 
 from tpupt.core.sampling import cosine_sample_hemisphere, power_heuristic, \
     uniform_sample_hemisphere
+from tpupt.core import rng as rngm
 from tpupt.core.vecmath import absdot, offset_ray_origin
-from tpupt.lights.lights import emitted_radiance, sample_li
+from tpupt.lights.lights import emitted_radiance, pdf_li, sample_li
 from tpupt.materials import bsdf as bx
-from tpupt.integrators.path import shading_point, _infinite_light_le
+from tpupt.integrators.path import (shading_point, _infinite_light_le,
+                                    miss_radiance_and_pdf)
 
 
 def direct_lighting_li(ds, st, sampler, max_depth, strategy,
@@ -77,6 +79,49 @@ def direct_lighting_li(ds, st, sampler, max_depth, strategy,
                 contrib = beta * f_l * ls.li * (
                     w_l / jnp.maximum(ls.pdf * pmf, 1e-12))[..., None]
                 L = L + jnp.where((can & ~occ)[..., None], contrib, 0.0)
+
+                # BSDF-sampled half of EstimateDirect toward the SAME light
+                # (integrator.cpp:163-215) — without it, the MIS weight
+                # above loses the area-light energy the other strategy
+                # would carry
+                key = rngm.uniform_u32(
+                    px.astype(jnp.uint32), py.astype(jnp.uint32),
+                    jnp.asarray(sample_idx).astype(jnp.uint32))
+                key = rngm.hash_combine(key, jnp.uint32(
+                    900 + depth * 16 + (li_idx or 0)))
+                bs_d = bx.sample(mp, wo_l,
+                                 rngm.uniform_float(key, 0),
+                                 rngm.uniform_float(key, 1),
+                                 rngm.uniform_float(key, 2),
+                                 st.mat_features)
+                wi_bw = bx.to_world(t_f, b_f, n_f, bs_d.wi)
+                can_b = alive & ~ls.is_delta & ~bs_d.specular \
+                    & (bs_d.pdf > 1e-9) & (jnp.max(bs_d.f, -1) > 0.0)
+                o_b = offset_ray_origin(sp.p, sp.ng, wi_bw)
+                hit2, _ = isect(ds, st, o_b, wi_bw,
+                                jnp.where(can_b, jnp.inf, 0.0))
+                sp2 = shading_point(ds, st, hit2, o_b, wi_bw)
+                # hit the chosen light's geometry?
+                hit_light = hit2.valid & (sp2.light == lid)
+                le2 = emitted_radiance(ds, st, hit2.prim, sp2.light,
+                                       -wi_bw, sp2.ns)
+                t_safe = jnp.where(hit2.valid, hit2.t, 1.0)
+                lp2 = pdf_li(ds, st, sp.p, wi_bw,
+                             jnp.maximum(hit2.prim, 0), t_safe)
+                # escaped ray toward the env light
+                miss_le, miss_pdf = miss_radiance_and_pdf(ds, st, wi_bw)
+                is_env = (st.env_light_id >= 0) & (lid == st.env_light_id)
+                le_b = jnp.where((hit_light)[..., None], le2,
+                                 jnp.where((~hit2.valid & is_env)[..., None],
+                                           miss_le, 0.0))
+                lp_b = jnp.where(hit_light, lp2,
+                                 jnp.where(~hit2.valid & is_env,
+                                           miss_pdf, 0.0))
+                w_b = power_heuristic(1.0, bs_d.pdf, 1.0, lp_b)
+                contrib_b = beta * bs_d.f * le_b * (
+                    absdot(wi_bw, sp.ns) * w_b
+                    / jnp.maximum(bs_d.pdf * pmf, 1e-12))[..., None]
+                L = L + jnp.where(can_b[..., None], contrib_b, 0.0)
 
         # specular continuation only (whitted-style)
         u_lobe = sampler.dim(px, py, sample_idx, base + 5)

@@ -393,8 +393,12 @@ def path_li(ds: DeviceScene, st: SceneStatics, sampler: WavefrontSampler,
                 jnp.where(can, ls.dist * 0.999, 0.0))
             aov_nodes += jnp.where(can, sstats.node_visits, 0)
             aov_tests += jnp.where(can, sstats.prim_tests, 0)
+            # MIS weight over the effective light-strategy density
+            # ls.pdf * pmf — the BSDF-hit side (below) weighs against
+            # lp * pmf, so both strategies see the same density and the
+            # pair sums to 1 (EstimateDirect, integrator.cpp:130)
             w_l = jnp.where(ls.is_delta, 1.0,
-                            power_heuristic(1.0, ls.pdf, 1.0, pdf_b))
+                            power_heuristic(1.0, ls.pdf * pmf, 1.0, pdf_b))
             contrib = beta * f_l * ls.li * (
                 w_l / jnp.maximum(ls.pdf * pmf, 1e-12))[..., None]
             L = L + jnp.where((can & ~occluded)[..., None], contrib, 0.0)
@@ -446,7 +450,8 @@ def path_li(ds: DeviceScene, st: SceneStatics, sampler: WavefrontSampler,
                     ds, st, o_she, ls_e.wi,
                     jnp.where(can_e, ls_e.dist * 0.997, 0.0))
                 w_mis = jnp.where(ls_e.is_delta, 1.0, power_heuristic(
-                    1.0, ls_e.pdf, 1.0, jnp.maximum(cos_e, 0.0) / jnp.pi))
+                    1.0, ls_e.pdf * pmf_e, 1.0,
+                    jnp.maximum(cos_e, 0.0) / jnp.pi))
                 contrib_e = beta_exit * (f_sw * cos_e * w_mis / jnp.maximum(
                     ls_e.pdf * pmf_e, 1e-12))[..., None] * ls_e.li
                 L = L + jnp.where((can_e & ~occ_e)[..., None], contrib_e,

@@ -147,8 +147,10 @@ def volpath_li(ds, st, sampler, medium: MediumParams, max_depth: int,
                              offset_ray_origin(sp.p, sp.ng, ls.wi))
             occ, tr = shadow_tr(o_sh, ls.wi, ls.dist,
                                 can, rngm.hash_combine(key_b, 23))
+            # effective light density is ls.pdf * pmf (the BSDF/phase-hit
+            # side weighs against lp * pmf0 — see path.py NEE note)
             w_l = jnp.where(ls.is_delta, 1.0,
-                            power_heuristic(1.0, ls.pdf, 1.0, pdf_fwd))
+                            power_heuristic(1.0, ls.pdf * pmf, 1.0, pdf_fwd))
             contrib = beta * f_l * tr * ls.li * (
                 w_l / jnp.maximum(ls.pdf * pmf, 1e-12))[..., None]
             L = L + jnp.where((can & ~occ)[..., None], contrib, 0.0)

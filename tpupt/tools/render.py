@@ -128,12 +128,11 @@ def main(argv=None):
         print(f"rendered {spp} spp in {render_s:.1f}s "
               f"({n_rays / max(render_s, 1e-9) / 1e6:.2f} M camera rays/s) -> {out}")
     if args.stats:
-        aov = r.aovs(film)
         print("Statistics:")
         print(f"  camera rays                     {n_rays}")
-        for k, v in aov.items():
-            tot = float(v.sum()) * spp
-            print(f"  {k:30s}  mean/pixel {float(v.mean()):10.2f}")
+        if film is not None:  # mlt/sppm drive their own film (no AOVs)
+            for k, v in r.aovs(film).items():
+                print(f"  {k:30s}  mean/pixel {float(v.mean()):10.2f}")
         print(f"  Timings/Buildtime               {build_s:.2f} s")
         print(f"  Timings/Rendertime              {render_s:.2f} s")
     if args.dumptree and hasattr(r, "accel_nodes"):
@@ -144,11 +143,10 @@ def main(argv=None):
         if not args.quiet:
             print(f"wrote tree serialization to {base_t}-tree.txt")
     if args.writestats:
-        aov = r.aovs(film)
         base = os.path.splitext(out)[0]
         import numpy as np
 
-        for k, v in aov.items():
+        for k, v in (r.aovs(film).items() if film is not None else ()):
             np.savetxt(f"{base}.{k}.txt", v, fmt="%.2f")
         if hasattr(r, "accel_nodes"):
             # node-type depth histograms next to the image
