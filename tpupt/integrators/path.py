@@ -178,9 +178,12 @@ def make_sorted_isect(isect, isect_p):
     return isect_sorted, isect_p_sorted
 
 
-def pick_traversal(st: SceneStatics, force: str = None):
+def pick_traversal(st: SceneStatics, force: str = None,
+                   with_stats: bool = True):
     """Choose the intersection backend: the pallas packet kernel when the
-    scene tables fit in VMEM (and we're on TPU), else the XLA wide-BVH path."""
+    scene tables fit in VMEM (and we're on TPU), else the XLA wide-BVH path.
+    with_stats=False compiles the GeneralStats counters out of the pallas
+    hot loop (~10% traversal throughput on killeroo)."""
     use_pallas = traverse_pallas.vmem_budget_ok(
         st.n_wide_nodes, st.n_tris + st.n_spheres)
     if force == "pallas":
@@ -190,11 +193,12 @@ def pick_traversal(st: SceneStatics, force: str = None):
     elif jax.default_backend() not in ("tpu", "axon"):
         use_pallas = False
     if use_pallas:
-        isect = traverse_pallas.intersect_packets
+        isect = partial(traverse_pallas.intersect_packets,
+                        with_stats=with_stats)
 
         def isect_p(ds, st, o, d, tmax):
             hit, stats = traverse_pallas.intersect_packets(
-                ds, st, o, d, tmax, any_hit=True)
+                ds, st, o, d, tmax, any_hit=True, with_stats=with_stats)
             return hit.valid, stats
 
         return make_sorted_isect(isect, isect_p)
@@ -531,7 +535,12 @@ class Renderer:
     """SamplerIntegrator::Render counterpart (integrator.cpp:230): drives
     sample-indexed full-frame wavefronts and accumulates the film."""
 
-    def __init__(self, scene: FlatScene, light_strategy: str = None):
+    def __init__(self, scene: FlatScene, light_strategy: str = None,
+                 collect_stats: bool = False):
+        """collect_stats compiles the per-ray GeneralStats counters into
+        the pallas traversal (node/leaf/prim-test AOVs; ~10% slower) —
+        the CLI turns it on for --stats/--writestats. The XLA fallback
+        path always collects."""
         _enable_compile_cache()
         strategy = light_strategy or scene.integrator.light_strategy
         self.scene = scene
@@ -574,7 +583,8 @@ class Renderer:
 
         accel = (scene.accelerator_name or "bvh").lower()
         if accel in ("bvh", "bvhold"):
-            self._isect, self._isect_p = pick_traversal(self.st)
+            self._isect, self._isect_p = pick_traversal(
+                self.st, with_stats=collect_stats)
             self.accel_stats = {"kind": "bvh", "n_nodes": self.st.n_nodes}
         else:
             # thesis kd/RBSP/BSP family via the native builders + unified

@@ -39,9 +39,11 @@ def _kernel(nodes_ref, prims_ref,
             ix_ref, iy_ref, iz_ref,
             kx_ref, ky_ref, kz_ref, sx_ref, sy_ref, sz_ref,
             tmax_ref,
-            t_ref, gid_ref, b1_ref, b2_ref, visits_ref,
+            t_ref, gid_ref, b1_ref, b2_ref, visits_ref, leaves_ref,
+            tests_ref,
             stack_ref,
-            *, max_leaf: int, any_hit: bool, has_spheres: bool):
+            *, max_leaf: int, any_hit: bool, has_spheres: bool,
+            with_stats: bool):
     ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
     dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
     ix, iy, iz = ix_ref[0], iy_ref[0], iz_ref[0]
@@ -52,20 +54,27 @@ def _kernel(nodes_ref, prims_ref,
     gid_ref[0] = jnp.full((8, 128), -1, jnp.int32)
     b1_ref[0] = jnp.zeros((8, 128), jnp.float32)
     b2_ref[0] = jnp.zeros((8, 128), jnp.float32)
-    visits_ref[0] = jnp.zeros((8, 128), jnp.int32)
     stack_ref[0] = 0
 
     o_kx = jnp.where(kx == 0, ox, jnp.where(kx == 1, oy, oz))
     o_ky = jnp.where(ky == 0, ox, jnp.where(ky == 1, oy, oz))
     o_kz = jnp.where(kz == 0, ox, jnp.where(kz == 1, oy, oz))
 
-    def cond(sp):
-        return sp > 0
+    def cond(state):
+        return state[0] > 0
 
-    def body(sp):
+    def body(state):
+        sp, c_nodes, c_leaves, c_tests = state
         raw = stack_ref[sp - 1]
         sp = sp - 1
-        visits_ref[0] = visits_ref[0] + 1
+        # GeneralStats (bvh.cpp:379): packet-uniform SCALAR counters in the
+        # loop carry, compiled in only when instrumentation is requested —
+        # the traversal loop is scalar-issue-bound, so even scalar counter
+        # ops cost ~10% (tile adds cost ~20%)
+        is_leaf_pop = raw < 0
+        if with_stats:
+            c_nodes = c_nodes + jnp.where(is_leaf_pop, 0, 1)
+            c_leaves = c_leaves + jnp.where(is_leaf_pop, 1, 0)
 
         def interior(sp):
             node = raw
@@ -217,18 +226,29 @@ def _kernel(nodes_ref, prims_ref,
                 sp = jnp.where(jnp.all(gid_ref[0] >= 0), 0, sp)
             return sp
 
-        return jax.lax.cond(raw < 0, leaf, interior, sp)
+        if with_stats:
+            c_tests = c_tests + jnp.where(
+                is_leaf_pop, jnp.minimum(-raw - 1 & 63, max_leaf), 0)
+        sp = jax.lax.cond(raw < 0, leaf, interior, sp)
+        return sp, c_nodes, c_leaves, c_tests
 
-    jax.lax.while_loop(cond, body, jnp.int32(1))
+    zero = jnp.int32(0)
+    _, n_nodes, n_leaves, n_tests = jax.lax.while_loop(
+        cond, body, (jnp.int32(1), zero, zero, zero))
+    # broadcast the packet-level counters to the per-ray tiles once
+    visits_ref[0] = jnp.full((8, 128), n_nodes, jnp.int32)
+    leaves_ref[0] = jnp.full((8, 128), n_leaves, jnp.int32)
+    tests_ref[0] = jnp.full((8, 128), n_tests, jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("max_leaf", "any_hit",
-                                             "has_spheres", "interpret"))
+                                             "has_spheres", "interpret",
+                                             "with_stats"))
 def _traverse(nodes_tiles, prim_rows,
               ox, oy, oz, dx, dy, dz, ix, iy, iz,
               kx, ky, kz, sx, sy, sz, tmax,
               max_leaf: int, any_hit: bool, has_spheres: bool,
-              interpret: bool = False):
+              interpret: bool = False, with_stats: bool = False):
     n_packets = ox.shape[0]
     ray_spec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -239,15 +259,18 @@ def _traverse(nodes_tiles, prim_rows,
         jax.ShapeDtypeStruct(shp, jnp.int32),    # gid
         jax.ShapeDtypeStruct(shp, jnp.float32),  # b1
         jax.ShapeDtypeStruct(shp, jnp.float32),  # b2
-        jax.ShapeDtypeStruct(shp, jnp.int32),    # visits
+        jax.ShapeDtypeStruct(shp, jnp.int32),    # node visits
+        jax.ShapeDtypeStruct(shp, jnp.int32),    # leaf visits
+        jax.ShapeDtypeStruct(shp, jnp.int32),    # prim tests
     ]
     kern = functools.partial(_kernel, max_leaf=max_leaf,
-                             any_hit=any_hit, has_spheres=has_spheres)
+                             any_hit=any_hit, has_spheres=has_spheres,
+                             with_stats=with_stats)
     return pl.pallas_call(
         kern,
         grid=(n_packets,),
         in_specs=[full, full] + [ray_spec] * 16,
-        out_specs=[ray_spec] * 5,
+        out_specs=[ray_spec] * 7,
         out_shape=out_shapes,
         scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32)],
         interpret=interpret,
@@ -260,9 +283,12 @@ def vmem_budget_ok(n_wide_nodes: int, n_prim_rows: int) -> bool:
     return bytes_needed < 12 * 1024 * 1024
 
 
-def intersect_packets(ds, st, o, d, tmax, any_hit=False, interpret=False):
+def intersect_packets(ds, st, o, d, tmax, any_hit=False, interpret=False,
+                      with_stats=True):
     """Drop-in packet-kernel version of accel.traverse.intersect_wide.
-    Pads the batch to a PACK multiple. Returns (Hit, TraversalStats)."""
+    Pads the batch to a PACK multiple. Returns (Hit, TraversalStats);
+    with_stats=False compiles the counters out of the hot loop (stats come
+    back as zeros)."""
     from tpupt.accel.traverse import Hit, TraversalStats
     from tpupt.core.vecmath import ray_inv_d
     from tpupt.shapes.triangle import ray_permutation
@@ -281,7 +307,7 @@ def intersect_packets(ds, st, o, d, tmax, any_hit=False, interpret=False):
     def pk(x, dtype=jnp.float32):
         return x.astype(dtype).reshape(npk, 8, 128)
 
-    t, gid, b1, b2, visits = _traverse(
+    t, gid, b1, b2, visits, leaves, tests = _traverse(
         ds.wide_nodes_tiled, ds.prim_rows_padded,
         pk(o[:, 0]), pk(o[:, 1]), pk(o[:, 2]),
         pk(d[:, 0]), pk(d[:, 1]), pk(d[:, 2]),
@@ -289,13 +315,16 @@ def intersect_packets(ds, st, o, d, tmax, any_hit=False, interpret=False):
         pk(kx, jnp.int32), pk(ky, jnp.int32), pk(kz, jnp.int32),
         pk(sx), pk(sy), pk(sz), pk(tmax),
         max_leaf=st.max_leaf, any_hit=any_hit,
-        has_spheres=st.n_spheres > 0, interpret=interpret)
+        has_spheres=st.n_spheres > 0, interpret=interpret,
+        with_stats=with_stats)
 
     t = t.reshape(-1)[:n]
     gid = gid.reshape(-1)[:n]
     b1 = b1.reshape(-1)[:n]
     b2 = b2.reshape(-1)[:n]
     visits = visits.reshape(-1)[:n]
+    leaves = leaves.reshape(-1)[:n]
+    tests = tests.reshape(-1)[:n]
 
     # sphere object-space hit point for shading (post-loop, cheap gather)
     if st.n_spheres > 0:
@@ -308,5 +337,5 @@ def intersect_packets(ds, st, o, d, tmax, any_hit=False, interpret=False):
         p_obj = jnp.zeros((n, 3))
 
     hit = Hit(valid=gid >= 0, t=t, prim=gid, b1=b1, b2=b2, p_obj=p_obj)
-    stats = TraversalStats(visits, jnp.zeros_like(visits), jnp.zeros_like(visits))
+    stats = TraversalStats(visits, leaves, tests)
     return hit, stats

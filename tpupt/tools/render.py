@@ -80,7 +80,7 @@ def main(argv=None):
               f"{scene.lights.count} lights, {scene.materials.count} materials")
 
     t0 = time.time()
-    r = Renderer(scene)
+    r = Renderer(scene, collect_stats=args.stats or args.writestats)
     build_s = time.time() - t0
     if not args.quiet:
         print(f"BVH + pipeline built in {build_s:.1f}s "
