@@ -1,11 +1,23 @@
-"""Driver benchmark: killeroo-simple (the reference's headline scene,
-BASELINE.md) rendered by the wavefront path integrator on the default
-backend. Prints ONE JSON line.
+"""Driver benchmark. Prints ONE JSON line.
 
-Metric: camera rays (full depth-5 paths incl. NEE shadow rays) per second,
-steady-state (post-compile). vs_baseline compares against the reference
-CPU binary's ~0.49 M camera rays/s on the same scene (BASELINE.md: 700x700,
-8 spp halton in 8 s on the thesis workstation)."""
+Headline metric (unchanged across rounds for comparability): killeroo-simple
+(the reference's headline scene, BASELINE.md) camera rays/s through the
+wavefront path integrator at depth 5 — full paths incl. NEE shadow rays.
+vs_baseline compares against the reference CPU binary's ~0.49 M camera
+rays/s on the same scene (700x700, 8 spp halton in 8 s, BASELINE.md).
+
+Extra keys in the same JSON object:
+  fwd_bwd_rays_per_s   — camera rays/s for jax.value_and_grad of the
+                         killeroo render w.r.t. {kd, ks, roughness, light L}
+                         (the BASELINE north-star fwd+bwd metric)
+  museum1m_rays_per_s  — forward rays/s on a generated 1,032,454-triangle
+                         scene (tools/genscene.py) through the two-level
+                         HBM-streamed traversal (the scene ladder's
+                         conference/sponza/museum rung; VMEM holds ~12 MB,
+                         this scene's tables are ~160 MB)
+  museum1m_frac        — museum1m / killeroo (VMEM-ceiling-break criterion:
+                         >= 0.30)
+"""
 
 import json
 import os
@@ -20,7 +32,23 @@ SCENE = "/root/reference/scenes/killeroo-simple"
 RES = 704  # 700 rounded to the wavefront batch granularity
 
 
-def main():
+def _steady(fn, reps=3, inner=1):
+    """Best-of-reps steady-state seconds per inner call (the TPU arrives
+    through a shared tunnel — single-shot timings carry scheduling noise)."""
+    import jax
+
+    best = 1e30
+    for _ in range(reps):
+        t0 = time.time()
+        out = None
+        for _ in range(inner):
+            out = fn()
+        jax.block_until_ready(out)
+        best = min(best, (time.time() - t0) / inner)
+    return best
+
+
+def bench_killeroo():
     import jax
     import jax.numpy as jnp
 
@@ -33,34 +61,104 @@ def main():
         flatten(parse_file(SCENE), os.path.dirname(SCENE)), RES, RES)
     r = Renderer(scene)
     film = new_film(RES, RES)
+    state = {"film": film}
 
-    # warmup / compile
-    film = r._step(film, jnp.uint32(0), r.px[: r.batch], r.py[: r.batch],
-                   r.valid[: r.batch])
-    jax.block_until_ready(film.rgb)
+    def one_spp():
+        for k in range(r.n_batches):
+            sl = slice(k * r.batch, (k + 1) * r.batch)
+            state["film"] = r._step(state["film"], jnp.uint32(1),
+                                    r.px[sl], r.py[sl], r.valid[sl])
+        return state["film"].rgb
 
-    # steady state: best of 3 repetitions (the TPU arrives through a
-    # shared tunnel — single-shot timings carry heavy scheduling noise)
-    spp = 2
-    rays_per_s = 0.0
-    for _ in range(3):
-        n_rays = 0
-        t0 = time.time()
-        for s in range(spp):
-            for k in range(r.n_batches):
-                sl = slice(k * r.batch, (k + 1) * r.batch)
-                film = r._step(film, jnp.uint32(s + 1), r.px[sl], r.py[sl],
-                               r.valid[sl])
-            n_rays += RES * RES
-        jax.block_until_ready(film.rgb)
-        dt = time.time() - t0
-        rays_per_s = max(rays_per_s, n_rays / dt)
+    one_spp()  # compile
+    dt = _steady(one_spp, reps=3, inner=2)
+    fwd = RES * RES / dt
+
+    # ---- fwd+bwd: value_and_grad of the render w.r.t. material/light ----
+    from functools import partial
+
+    from tpupt.cameras.perspective import generate_rays
+    from tpupt.integrators.path import path_li, pick_traversal
+
+    isect, isect_p = pick_traversal(r.st, with_stats=False)
+    px, py, valid = r.px[: r.batch], r.py[: r.batch], r.valid[: r.batch]
+    ds0, st = r.ds, r.st
+    cam = scene.camera
+
+    def loss(params):
+        ds = ds0._replace(**params)
+        jx, jy = r.sampler.camera_jitter(px, py, jnp.uint32(0))
+        pr = jnp.stack([px.astype(jnp.float32) + jx,
+                        py.astype(jnp.float32) + jy], -1)
+        o, d = generate_rays(cam.type, ds.raster_to_camera, ds.cam_to_world,
+                             pr, jnp.zeros((r.batch, 2)), 0.0, 1e6)
+        L, _ = path_li(ds, st, r.sampler, scene.integrator.max_depth, 1.0,
+                       px, py, jnp.uint32(0), o, d,
+                       isect=isect, isect_p=isect_p)
+        return jnp.sum(jnp.where(valid[:, None], L, 0.0))
+
+    params = {"mat_kd": ds0.mat_kd, "mat_ks": ds0.mat_ks,
+              "mat_roughness": ds0.mat_roughness, "light_L": ds0.light_L}
+    step = jax.jit(jax.value_and_grad(loss))
+    step(params)  # compile
+
+    def one_grad():
+        v, g = step(params)
+        return g["mat_kd"]
+
+    dt_g = _steady(one_grad, reps=3, inner=2)
+    fwd_bwd = r.batch / dt_g
+    return fwd, fwd_bwd
+
+
+def bench_museum():
+    import jax
+    import jax.numpy as jnp
+
+    from tpupt.tools.genscene import museum
+    from tpupt.scene.loader import parse_file
+    from tpupt.scene.flatten import flatten
+    from tpupt.integrators.path import Renderer
+    from tpupt.film.film import new_film
+
+    out = "/tmp/tpupt_bench_scenes"
+    pbrt = museum(out, grid=8, seg=128, rings=64)
+    scene = flatten(parse_file(pbrt), out)
+    r = Renderer(scene)
+    assert r.st.two_level, "museum must exercise the streamed traversal"
+    res = scene.film.xres
+    film = new_film(res, scene.film.yres)
+    state = {"film": film}
+
+    def one_spp():
+        for k in range(r.n_batches):
+            sl = slice(k * r.batch, (k + 1) * r.batch)
+            state["film"] = r._step(state["film"], jnp.uint32(1),
+                                    r.px[sl], r.py[sl], r.valid[sl])
+        return state["film"].rgb
+
+    one_spp()  # compile
+    dt = _steady(one_spp, reps=3, inner=1)
+    return scene.film.xres * scene.film.yres / dt, scene.triangles.count
+
+
+def main():
+    fwd, fwd_bwd = bench_killeroo()
+    try:
+        museum_rays, museum_tris = bench_museum()
+    except Exception as e:  # bench must still report the headline number
+        museum_rays, museum_tris = 0.0, 0
+        print(f"museum bench failed: {e!r}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "killeroo_camera_rays_per_s_depth5",
-        "value": round(rays_per_s, 1),
+        "value": round(fwd, 1),
         "unit": "rays/s/chip",
-        "vs_baseline": round(rays_per_s / REFERENCE_RAYS_PER_S, 3),
+        "vs_baseline": round(fwd / REFERENCE_RAYS_PER_S, 3),
+        "fwd_bwd_rays_per_s": round(fwd_bwd, 1),
+        "museum1m_rays_per_s": round(museum_rays, 1),
+        "museum1m_tris": museum_tris,
+        "museum1m_frac": round(museum_rays / max(fwd, 1.0), 3),
     }))
 
 

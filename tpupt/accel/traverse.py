@@ -42,6 +42,10 @@ class TraversalStats(NamedTuple):
     node_visits: jnp.ndarray  # (N,) i32 bvh node traversals
     leaf_visits: jnp.ndarray  # (N,) i32
     prim_tests: jnp.ndarray   # (N,) i32 primitive intersection tests
+    # treelets dropped by phase-1 list overflow in the two-level streamed
+    # path (ops/traverse_stream.py) — a possible missed hit, surfaced as a
+    # counter per the 'no silent truncation' rule; None on exact backends
+    truncated: jnp.ndarray = None
 
 
 def intersect(ds: DeviceScene, st: SceneStatics, o, d, tmax,

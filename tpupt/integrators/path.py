@@ -181,24 +181,32 @@ def make_sorted_isect(isect, isect_p):
 def pick_traversal(st: SceneStatics, force: str = None,
                    with_stats: bool = True):
     """Choose the intersection backend: the pallas packet kernel when the
-    scene tables fit in VMEM (and we're on TPU), else the XLA wide-BVH path.
-    with_stats=False compiles the GeneralStats counters out of the pallas
-    hot loop (~10% traversal throughput on killeroo)."""
+    scene tables fit in VMEM, the two-level HBM-streamed pallas kernel when
+    they don't but treelet tables were built (and we're on TPU), else the
+    XLA wide-BVH path. with_stats=False compiles the GeneralStats counters
+    out of the pallas hot loop (~10% traversal throughput on killeroo)."""
+    on_tpu = jax.default_backend() in ("tpu", "axon")
     use_pallas = traverse_pallas.vmem_budget_ok(
-        st.n_wide_nodes, st.n_tris + st.n_spheres)
+        st.n_wide_nodes, st.n_tris + st.n_spheres) and not st.two_level
+    use_stream = st.two_level
     if force == "pallas":
-        use_pallas = True
+        use_pallas, use_stream = True, False
+    elif force == "stream":
+        use_pallas, use_stream = False, True
     elif force == "xla":
-        use_pallas = False
-    elif jax.default_backend() not in ("tpu", "axon"):
-        use_pallas = False
-    if use_pallas:
-        isect = partial(traverse_pallas.intersect_packets,
-                        with_stats=with_stats)
+        use_pallas = use_stream = False
+    elif not on_tpu:
+        use_pallas = use_stream = False
+    if use_pallas or use_stream:
+        from tpupt.ops.traverse_stream import intersect_packets_streamed
+
+        base = (intersect_packets_streamed if use_stream
+                else traverse_pallas.intersect_packets)
+        isect = partial(base, with_stats=with_stats)
 
         def isect_p(ds, st, o, d, tmax):
-            hit, stats = traverse_pallas.intersect_packets(
-                ds, st, o, d, tmax, any_hit=True, with_stats=with_stats)
+            hit, stats = base(ds, st, o, d, tmax, any_hit=True,
+                              with_stats=with_stats)
             return hit.valid, stats
 
         return make_sorted_isect(isect, isect_p)
@@ -611,18 +619,14 @@ class Renderer:
         rr_threshold = scene.integrator.rr_threshold
         st, sampler = self.st, self.sampler
 
-        # global exterior medium for volpath (media/media.py)
+        # media now live in the DeviceScene tables (per-interface,
+        # media/media.py MediaTable); keep a MediumParams handle for tools
+        # that inspect the (legacy) global-medium configuration
         self._medium = None
         if scene.media:
             from tpupt.media.media import build_medium
 
             first = next(iter(scene.media.values()))
-            if len(scene.media) > 1:
-                import warnings
-
-                warnings.warn("multiple named media: the first becomes the "
-                              "global exterior medium (per-interface media "
-                              "land in a later round)")
             self._medium = build_medium(first, scene)
 
         # NOTE: ds is a jit ARGUMENT, not a closure — closure-captured scene
@@ -649,10 +653,10 @@ class Renderer:
                                      xres, yres)
                 cam_alive = None
             name = scene.integrator.name
-            if name == "volpath" and self._medium is not None:
+            if name == "volpath" and st.n_media > 0:
                 from tpupt.integrators.volpath import volpath_li
 
-                L, aov = volpath_li(ds, st, sampler, self._medium, max_depth,
+                L, aov = volpath_li(ds, st, sampler, max_depth,
                                     rr_threshold, px_b, py_b, sample_idx,
                                     o, d, self._isect, self._isect_p)
             elif name == "bdpt":

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from tpupt.core.sampling import cosine_sample_hemisphere
@@ -718,7 +719,12 @@ def sample(mp: MatParams, wo, u_lobe, u1, u2, features=frozenset()):
         sel = t == tid
         wi = jnp.where(sel[..., None], w, wi)
         specular = jnp.where(sel, sflag, specular)
-    wi = normalize(wi)
+    # DETACHED-SAMPLING estimator (SURVEY.md §7 step 7): the sampled
+    # direction is a constant of differentiation — f below is evaluated at
+    # this fixed wi and differentiated w.r.t. material params only. This
+    # also severs the inverse-CDF sqrt/log chains whose cotangents are
+    # inf-at-0 (NaN-safe roughness gradients).
+    wi = jax.lax.stop_gradient(normalize(wi))
 
     # non-delta materials: f/pdf via eval
     f_nd, pdf_nd = eval_pdf(mp, wo, wi, features)
@@ -784,5 +790,9 @@ def sample(mp: MatParams, wo, u_lobe, u1, u2, features=frozenset()):
         eta_mix = jnp.where(pick1, s1.eta_scale, s2.eta_scale)
         eta_scale = jnp.where(t == MAT_MIX, eta_mix, eta_scale)
 
-    return BsdfSample(wi=wi, f=f, pdf=pdf, specular=specular,
-                      eta_scale=eta_scale)
+    # detached estimator: the sampling DENSITY in the denominator (and the
+    # MIS weights built from it) is detached along with the direction; only
+    # f carries parameter cotangents
+    return BsdfSample(wi=wi, f=f, pdf=jax.lax.stop_gradient(pdf),
+                      specular=specular,
+                      eta_scale=jax.lax.stop_gradient(eta_scale))

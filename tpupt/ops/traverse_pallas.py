@@ -34,31 +34,20 @@ STACK = 64
 _BIG = 3.0e38  # plain float: jnp scalars would be captured consts in the kernel
 
 
-def _kernel(nodes_ref, prims_ref,
-            ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-            ix_ref, iy_ref, iz_ref,
-            kx_ref, ky_ref, kz_ref, sx_ref, sy_ref, sz_ref,
-            tmax_ref,
-            t_ref, gid_ref, b1_ref, b2_ref, visits_ref, leaves_ref,
-            tests_ref,
-            stack_ref,
-            *, max_leaf: int, any_hit: bool, has_spheres: bool,
-            with_stats: bool):
-    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
-    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
-    ix, iy, iz = ix_ref[0], iy_ref[0], iz_ref[0]
-    kx, ky, kz = kx_ref[0], ky_ref[0], kz_ref[0]
-    sx, sy, sz = sx_ref[0], sy_ref[0], sz_ref[0]
+def traverse_loop(node_at, prim_at, rays, t_ref, gid_ref, b1_ref, b2_ref,
+                  stack_ref, *, max_leaf: int, any_hit: bool,
+                  has_spheres: bool, with_stats: bool, sp_init=None):
+    """The packet traversal while-loop, shared by the single-level kernel
+    and the two-level streamed kernel (ops/traverse_stream.py).
 
-    t_ref[0] = tmax_ref[0]
-    gid_ref[0] = jnp.full((8, 128), -1, jnp.int32)
-    b1_ref[0] = jnp.zeros((8, 128), jnp.float32)
-    b2_ref[0] = jnp.zeros((8, 128), jnp.float32)
-    stack_ref[0] = 0
-
-    o_kx = jnp.where(kx == 0, ox, jnp.where(kx == 1, oy, oz))
-    o_ky = jnp.where(ky == 0, ox, jnp.where(ky == 1, oy, oz))
-    o_kz = jnp.where(kz == 0, ox, jnp.where(kz == 1, oy, oz))
+    node_at(node, child, col) / prim_at(idx, col) are scalar accessors into
+    whatever node/prim block layout the caller streams in; t/gid/b1/b2 refs
+    carry current-best hits ACROSS calls (the streamed kernel accumulates
+    over several treelets into the same output tiles). stack_ref[0] must
+    hold the local root id; sp_init=0 skips the walk (dead grid step).
+    Returns the (nodes, leaves, tests) packet counters."""
+    (ox, oy, oz, dx, dy, dz, ix, iy, iz,
+     kx, ky, kz, sx, sy, sz, o_kx, o_ky, o_kz) = rays
 
     def cond(state):
         return state[0] > 0
@@ -81,12 +70,12 @@ def _kernel(nodes_ref, prims_ref,
             # static-unrolled 8 children; bounds are scalar loads broadcast
             # against the packet tile
             for c in range(8):
-                lo_x = nodes_ref[node, c, 0]
-                lo_y = nodes_ref[node, c, 1]
-                lo_z = nodes_ref[node, c, 2]
-                hi_x = nodes_ref[node, c, 3]
-                hi_y = nodes_ref[node, c, 4]
-                hi_z = nodes_ref[node, c, 5]
+                lo_x = node_at(node, c, 0)
+                lo_y = node_at(node, c, 1)
+                lo_z = node_at(node, c, 2)
+                hi_x = node_at(node, c, 3)
+                hi_y = node_at(node, c, 4)
+                hi_z = node_at(node, c, 5)
                 t1x = (lo_x - ox) * ix
                 t2x = (hi_x - ox) * ix
                 t1y = (lo_y - oy) * iy
@@ -103,8 +92,8 @@ def _kernel(nodes_ref, prims_ref,
                 any_c = jnp.any(hit)
                 # float-encoded meta: >0 interior id; <0 leaf count (first in
                 # col 7); 0 empty (empty boxes are inf/-inf, never hit)
-                m6 = nodes_ref[node, c, 6]
-                m7 = nodes_ref[node, c, 7]
+                m6 = node_at(node, c, 6)
+                m7 = node_at(node, c, 7)
                 meta = jnp.where(
                     m6 > 0.0, m6.astype(jnp.int32),
                     -((m7.astype(jnp.int32) << 6) + (-m6).astype(jnp.int32)) - 1)
@@ -124,7 +113,7 @@ def _kernel(nodes_ref, prims_ref,
                 idx = first + k
 
                 def ps(col):
-                    return prims_ref[idx, col]
+                    return prim_at(idx, col)
 
                 t_cur = t_ref[0]
                 p_gid = ps(18).astype(jnp.int32)
@@ -233,8 +222,46 @@ def _kernel(nodes_ref, prims_ref,
         return sp, c_nodes, c_leaves, c_tests
 
     zero = jnp.int32(0)
+    sp0 = jnp.int32(1) if sp_init is None else sp_init.astype(jnp.int32)
     _, n_nodes, n_leaves, n_tests = jax.lax.while_loop(
-        cond, body, (jnp.int32(1), zero, zero, zero))
+        cond, body, (sp0, zero, zero, zero))
+    return n_nodes, n_leaves, n_tests
+
+
+def _kernel(nodes_ref, prims_ref,
+            ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+            ix_ref, iy_ref, iz_ref,
+            kx_ref, ky_ref, kz_ref, sx_ref, sy_ref, sz_ref,
+            tmax_ref,
+            t_ref, gid_ref, b1_ref, b2_ref, visits_ref, leaves_ref,
+            tests_ref,
+            stack_ref,
+            *, max_leaf: int, any_hit: bool, has_spheres: bool,
+            with_stats: bool):
+    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
+    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
+    ix, iy, iz = ix_ref[0], iy_ref[0], iz_ref[0]
+    kx, ky, kz = kx_ref[0], ky_ref[0], kz_ref[0]
+    sx, sy, sz = sx_ref[0], sy_ref[0], sz_ref[0]
+
+    t_ref[0] = tmax_ref[0]
+    gid_ref[0] = jnp.full((8, 128), -1, jnp.int32)
+    b1_ref[0] = jnp.zeros((8, 128), jnp.float32)
+    b2_ref[0] = jnp.zeros((8, 128), jnp.float32)
+    stack_ref[0] = 0
+
+    o_kx = jnp.where(kx == 0, ox, jnp.where(kx == 1, oy, oz))
+    o_ky = jnp.where(ky == 0, ox, jnp.where(ky == 1, oy, oz))
+    o_kz = jnp.where(kz == 0, ox, jnp.where(kz == 1, oy, oz))
+
+    rays = (ox, oy, oz, dx, dy, dz, ix, iy, iz,
+            kx, ky, kz, sx, sy, sz, o_kx, o_ky, o_kz)
+    n_nodes, n_leaves, n_tests = traverse_loop(
+        lambda n, c, col: nodes_ref[n, c, col],
+        lambda i, col: prims_ref[i, col],
+        rays, t_ref, gid_ref, b1_ref, b2_ref, stack_ref,
+        max_leaf=max_leaf, any_hit=any_hit, has_spheres=has_spheres,
+        with_stats=with_stats)
     # broadcast the packet-level counters to the per-ray tiles once
     visits_ref[0] = jnp.full((8, 128), n_nodes, jnp.int32)
     leaves_ref[0] = jnp.full((8, 128), n_leaves, jnp.int32)

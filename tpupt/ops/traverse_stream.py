@@ -1,0 +1,396 @@
+"""Two-level HBM-streamed Pallas traversal — size-oblivious scenes.
+
+Companion to ops/traverse_pallas.py (which requires the whole scene in
+VMEM). Reference parity target: bvh.cpp:354-397 traverses arbitrary scene
+sizes; here the wide BVH is split by accel/treelets.py into a VMEM-resident
+top tree plus fixed-size treelet blocks living in HBM, and traversal runs
+in two phases:
+
+  phase 1 (one grid step per 1024-ray packet): walk the top tree, slab-test
+  children against the whole packet, and record every treelet whose bounds
+  any live ray enters, with the packet's entry distance. Output: per-packet
+  treelet lists (capacity TREELET_LIST_MAX; overflow is COUNTED, never
+  silent — the farthest treelets are dropped after the front-to-back sort).
+
+  phase 2 (grid = packets x list slots): each grid step traverses one
+  (packet, treelet) pair. The treelet's node/prim blocks are streamed
+  HBM->VMEM by scalar-prefetch BlockSpec index maps
+  (pltpu.PrefetchScalarGridSpec) — Pallas double-buffers consecutive grid
+  steps, so each DMA rides under the previous pair's traversal compute.
+  Hit state (t/gid/b1/b2) accumulates in the packet's output tiles, which
+  stay VMEM-resident across the inner grid dimension. Pairs are processed
+  front-to-back, and a pair is skipped entirely (zero loop trips) when its
+  entry distance exceeds every live ray's current-best t, or (any-hit) when
+  every lane already hit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpupt.accel.treelets import TREELET_LIST_MAX
+from tpupt.ops.traverse_pallas import PACK, STACK, traverse_loop
+
+_BIG = 3.0e38
+PAIR_GUARANTEED = 8   # per-packet pair slots always available
+PAIR_BUDGET = 24      # average pair slots per packet (static grid cap)
+
+
+# --------------------------- phase 1: binning ------------------------------
+
+
+def _kernel_top(nodes_ref,
+                ox_ref, oy_ref, oz_ref, ix_ref, iy_ref, iz_ref, tmax_ref,
+                tids_ref, tnear_ref, cnt_ref, ovf_ref,
+                stack_ref, tstack_ref, *, list_max: int):
+    """Bin one ray packet to the treelets it enters.
+
+    Top-tile meta (treelets.py): col6 > 0 interior id; col6 == 0 empty;
+    col6 < 0 treelet ref with tid = col7. The scalar stack carries
+    -(tid+1) for treelet refs, plus a parallel f32 stack of packet entry
+    distances (min t_near over entering rays)."""
+    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
+    ix, iy, iz = ix_ref[0], iy_ref[0], iz_ref[0]
+    tmax = tmax_ref[0]
+
+    stack_ref[0] = 0
+    tstack_ref[0] = 0.0
+
+    def cond(state):
+        return state[0] > 0
+
+    def body(state):
+        sp, cnt, ovf = state
+        raw = stack_ref[sp - 1]
+        tn = tstack_ref[sp - 1]
+        sp = sp - 1
+        is_tl = raw < 0
+        room = cnt < list_max
+
+        @pl.when(is_tl & room)
+        def _():
+            tids_ref[0, 0, cnt] = -raw - 1
+            tnear_ref[0, 0, cnt] = tn
+
+        cnt = cnt + jnp.where(is_tl & room, 1, 0)
+        ovf = ovf + jnp.where(is_tl & ~room, 1, 0)
+
+        def interior(sp):
+            node = raw
+            for c in range(8):
+                lo_x = nodes_ref[node, c, 0]
+                lo_y = nodes_ref[node, c, 1]
+                lo_z = nodes_ref[node, c, 2]
+                hi_x = nodes_ref[node, c, 3]
+                hi_y = nodes_ref[node, c, 4]
+                hi_z = nodes_ref[node, c, 5]
+                t1x = (lo_x - ox) * ix
+                t2x = (hi_x - ox) * ix
+                t1y = (lo_y - oy) * iy
+                t2y = (hi_y - oy) * iy
+                t1z = (lo_z - oz) * iz
+                t2z = (hi_z - oz) * iz
+                t_near = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
+                                                 jnp.minimum(t1y, t2y)),
+                                     jnp.minimum(t1z, t2z))
+                t_far = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
+                                                jnp.maximum(t1y, t2y)),
+                                    jnp.maximum(t1z, t2z)) * 1.0000004
+                hit = (t_near <= t_far) & (t_far > 0.0) & (t_near < tmax)
+                any_c = jnp.any(hit)
+                tn_c = jnp.min(jnp.where(hit, jnp.maximum(t_near, 0.0), _BIG))
+                m6 = nodes_ref[node, c, 6]
+                m7 = nodes_ref[node, c, 7]
+                meta = jnp.where(m6 > 0.0, m6.astype(jnp.int32),
+                                 -(m7.astype(jnp.int32)) - 1)
+
+                @pl.when(any_c)
+                def _():
+                    stack_ref[sp] = meta
+                    tstack_ref[sp] = tn_c
+
+                sp = sp + jnp.where(any_c, 1, 0)
+            return sp
+
+        sp = jax.lax.cond(is_tl, lambda s: s, interior, sp)
+        return sp, cnt, ovf
+
+    zero = jnp.int32(0)
+    _, cnt, ovf = jax.lax.while_loop(cond, body, (jnp.int32(1), zero, zero))
+    cnt_ref[0, 0, 0] = cnt
+    ovf_ref[0, 0, 0] = ovf
+
+
+@functools.partial(jax.jit, static_argnames=("list_max", "interpret"))
+def _bin_packets(top_tiles, ox, oy, oz, ix, iy, iz, tmax,
+                 list_max: int = TREELET_LIST_MAX, interpret: bool = False):
+    npk = ox.shape[0]
+    ray_spec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    # singleton middle axis keeps Mosaic's last-two-dims block rule happy
+    # (block dims equal the array dims there)
+    list_spec = pl.BlockSpec((1, 1, list_max), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM)
+    one_spec = pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                            memory_space=pltpu.SMEM)
+    kern = functools.partial(_kernel_top, list_max=list_max)
+    tids, tnear, cnt, ovf = pl.pallas_call(
+        kern,
+        grid=(npk,),
+        in_specs=[full] + [ray_spec] * 7,
+        out_specs=[list_spec, list_spec, one_spec, one_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((npk, 1, list_max), jnp.int32),
+            jax.ShapeDtypeStruct((npk, 1, list_max), jnp.float32),
+            jax.ShapeDtypeStruct((npk, 1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((npk, 1, 1), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32),
+                        pltpu.SMEM((STACK,), jnp.float32)],
+        interpret=interpret,
+    )(top_tiles, ox, oy, oz, ix, iy, iz, tmax)
+    return (tids[:, 0], tnear[:, 0], cnt[:, 0, 0], ovf[:, 0, 0])
+
+
+# ------------------------ phase 2: streamed pairs ---------------------------
+
+
+def _kernel_treelet(tids_ref, pk_ref, first_ref, tnear_ref,
+                    nodes_ref, prims_ref,
+                    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                    ix_ref, iy_ref, iz_ref,
+                    kx_ref, ky_ref, kz_ref, sx_ref, sy_ref, sz_ref,
+                    tmax_ref,
+                    t_ref, gid_ref, b1_ref, b2_ref, visits_ref, leaves_ref,
+                    tests_ref,
+                    stack_ref,
+                    *, max_leaf: int, any_hit: bool, has_spheres: bool,
+                    with_stats: bool):
+    """One COMPACTED (packet, treelet) pair per grid step. Pairs are
+    packet-major, so the packet's output tiles stay VMEM-resident across
+    its run of pairs; `first` marks the first pair of each packet (init).
+    Every packet has >= 1 pair (cnt==0 packets get a dummy with
+    tnear=_BIG, which initializes the outputs and skips the walk)."""
+    i = pl.program_id(0)
+
+    @pl.when(first_ref[i] == 1)
+    def _():
+        t_ref[0] = tmax_ref[0]
+        gid_ref[0] = jnp.full((8, 128), -1, jnp.int32)
+        b1_ref[0] = jnp.zeros((8, 128), jnp.float32)
+        b2_ref[0] = jnp.zeros((8, 128), jnp.float32)
+        visits_ref[0] = jnp.zeros((8, 128), jnp.int32)
+        leaves_ref[0] = jnp.zeros((8, 128), jnp.int32)
+        tests_ref[0] = jnp.zeros((8, 128), jnp.int32)
+
+    # front-to-back cull: skip the pair when its entry distance is beyond
+    # every lane's current best (or when every lane already hit, any-hit)
+    run = tnear_ref[i] < jnp.max(t_ref[0])
+    if any_hit:
+        run = run & ~jnp.all(gid_ref[0] >= 0)
+
+    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
+    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
+    ix, iy, iz = ix_ref[0], iy_ref[0], iz_ref[0]
+    kx, ky, kz = kx_ref[0], ky_ref[0], kz_ref[0]
+    sx, sy, sz = sx_ref[0], sy_ref[0], sz_ref[0]
+    o_kx = jnp.where(kx == 0, ox, jnp.where(kx == 1, oy, oz))
+    o_ky = jnp.where(ky == 0, ox, jnp.where(ky == 1, oy, oz))
+    o_kz = jnp.where(kz == 0, ox, jnp.where(kz == 1, oy, oz))
+    rays = (ox, oy, oz, dx, dy, dz, ix, iy, iz,
+            kx, ky, kz, sx, sy, sz, o_kx, o_ky, o_kz)
+
+    stack_ref[0] = 0  # treelet-local root
+    n_nodes, n_leaves, n_tests = traverse_loop(
+        lambda n, c, col: nodes_ref[n, c * 8 + col],
+        lambda p, col: prims_ref[p, col],
+        rays, t_ref, gid_ref, b1_ref, b2_ref, stack_ref,
+        max_leaf=max_leaf, any_hit=any_hit, has_spheres=has_spheres,
+        with_stats=with_stats, sp_init=jnp.where(run, 1, 0))
+    if with_stats:
+        visits_ref[0] = visits_ref[0] + n_nodes
+        leaves_ref[0] = leaves_ref[0] + n_leaves
+        tests_ref[0] = tests_ref[0] + n_tests
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "tn", "tp", "max_leaf", "any_hit", "has_spheres", "interpret",
+    "with_stats"))
+def _traverse_pairs(pair_tid, pair_pk, pair_first, pair_tnear,
+                    tl_nodes, tl_prims,
+                    ox, oy, oz, dx, dy, dz, ix, iy, iz,
+                    kx, ky, kz, sx, sy, sz, tmax,
+                    tn: int, tp: int, max_leaf: int, any_hit: bool,
+                    has_spheres: bool, interpret: bool = False,
+                    with_stats: bool = False):
+    """Grid over COMPACTED packet-major (packet, treelet) pairs: the node/
+    prim blocks stream by pair_tid (scalar-prefetch index maps), ray and
+    output tiles by pair_pk. Consecutive pairs of one packet keep its
+    output tiles VMEM-resident (same block index -> no copies)."""
+    npairs = pair_tid.shape[0]
+    npk = ox.shape[0]
+    shp = (npk, 8, 128)
+
+    def by_pk(i, tid_r, pk_r, first_r, tnear_r):
+        return (pk_r[i], 0, 0)
+
+    ray_spec = pl.BlockSpec((1, 8, 128), by_pk, memory_space=pltpu.VMEM)
+    node_spec = pl.BlockSpec(
+        (tn, 64), lambda i, tid_r, pk_r, first_r, tnear_r: (tid_r[i], 0),
+        memory_space=pltpu.VMEM)
+    prim_spec = pl.BlockSpec(
+        (tp, 32), lambda i, tid_r, pk_r, first_r, tnear_r: (tid_r[i], 0),
+        memory_space=pltpu.VMEM)
+    out_shapes = [
+        jax.ShapeDtypeStruct(shp, jnp.float32),  # t
+        jax.ShapeDtypeStruct(shp, jnp.int32),    # gid
+        jax.ShapeDtypeStruct(shp, jnp.float32),  # b1
+        jax.ShapeDtypeStruct(shp, jnp.float32),  # b2
+        jax.ShapeDtypeStruct(shp, jnp.int32),    # node visits
+        jax.ShapeDtypeStruct(shp, jnp.int32),    # leaf visits
+        jax.ShapeDtypeStruct(shp, jnp.int32),    # prim tests
+    ]
+    kern = functools.partial(_kernel_treelet, max_leaf=max_leaf,
+                             any_hit=any_hit, has_spheres=has_spheres,
+                             with_stats=with_stats)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(npairs,),
+        in_specs=[node_spec, prim_spec] + [ray_spec] * 16,
+        out_specs=[ray_spec] * 7,
+        scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32)],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(pair_tid, pair_pk, pair_first, pair_tnear, tl_nodes, tl_prims,
+      ox, oy, oz, dx, dy, dz, ix, iy, iz, kx, ky, kz, sx, sy, sz, tmax)
+
+
+# ------------------------------ driver --------------------------------------
+
+
+def intersect_packets_streamed(ds, st, o, d, tmax, any_hit=False,
+                               interpret=False, with_stats=True,
+                               list_max=TREELET_LIST_MAX):
+    """Drop-in two-level version of traverse_pallas.intersect_packets for
+    scenes whose tables exceed the single-level VMEM budget. Same (Hit,
+    TraversalStats) contract; stats.truncated carries the per-ray count of
+    treelets dropped by phase-1 list overflow (farthest-first after the
+    front-to-back sort; nonzero truncation means a possible missed hit and
+    is surfaced, never silent)."""
+    from tpupt.accel.traverse import Hit, TraversalStats
+    from tpupt.core.vecmath import ray_inv_d
+    from tpupt.shapes.triangle import ray_permutation
+
+    assert st.two_level, "scene was uploaded without treelet tables"
+    n = o.shape[0]
+    n_pad = (-n) % PACK
+    if n_pad:
+        o = jnp.concatenate([o, jnp.ones((n_pad, 3))])
+        d = jnp.concatenate([d, jnp.ones((n_pad, 3))])
+        tmax = jnp.concatenate([tmax, jnp.zeros(n_pad)])
+    npk = o.shape[0] // PACK
+
+    kx, ky, kz, sx, sy, sz = ray_permutation(d)
+    inv_d = ray_inv_d(d)
+
+    def pk(x, dtype=jnp.float32):
+        return x.astype(dtype).reshape(npk, 8, 128)
+
+    pox, poy, poz = pk(o[:, 0]), pk(o[:, 1]), pk(o[:, 2])
+    pix, piy, piz = pk(inv_d[:, 0]), pk(inv_d[:, 1]), pk(inv_d[:, 2])
+    ptm = pk(tmax)
+
+    tids, tnear, cnt, ovf = _bin_packets(
+        ds.top_tiles, pox, poy, poz, pix, piy, piz, ptm,
+        list_max=list_max, interpret=interpret)
+
+    # front-to-back sort per packet
+    slot = jnp.arange(list_max)[None, :]
+    valid = slot < cnt[:, None]
+    order = jnp.argsort(jnp.where(valid, tnear, jnp.inf), axis=1)
+    tids_s = jnp.take_along_axis(tids, order, 1)
+    tnear_s = jnp.take_along_axis(tnear, order, 1)
+    tids_s = jnp.where(valid, jnp.clip(tids_s, 0, st.n_treelets - 1), 0)
+    tnear_s = jnp.where(valid, tnear_s, _BIG)
+
+    # ---- compact to packet-major pairs (grid steps ~= actual pairs) ----
+    # Every packet gets >= 1 slot (a dummy pair initializes its outputs).
+    # Budget: a guaranteed quota per packet, plus first-come-first-served
+    # overflow up to the static cap; dropped pairs are the packet's
+    # FARTHEST treelets (lists are sorted front-to-back) and are COUNTED.
+    guaranteed = min(PAIR_GUARANTEED, list_max)
+    cap = npk * min(PAIR_BUDGET, list_max)
+    cnt_eff = jnp.maximum(jnp.minimum(cnt, list_max), 1)
+    over = jnp.maximum(cnt_eff - guaranteed, 0)
+    over_base = jnp.cumsum(over) - over
+    room = jnp.maximum(cap - npk * guaranteed - over_base, 0)
+    take = jnp.minimum(cnt_eff, guaranteed + jnp.minimum(over, room))
+    base = jnp.cumsum(take) - take  # exclusive prefix: packet's first slot
+    trunc_pairs = cnt - take  # (>0 only when cnt > take)
+
+    # scatter pairs into (cap,) arrays
+    flat_pos = base[:, None] + slot  # target pair index for (pk, j)
+    in_take = slot < take[:, None]
+    pos = jnp.where(in_take, flat_pos, cap)  # cap = dropped (OOB)
+    pair_tid = jnp.zeros(cap + 1, jnp.int32).at[pos.reshape(-1)].set(
+        tids_s.reshape(-1), mode="drop")[:cap]
+    pair_tnear = jnp.full(cap + 1, _BIG, jnp.float32).at[
+        pos.reshape(-1)].set(tnear_s.reshape(-1), mode="drop")[:cap]
+    pks = jnp.broadcast_to(jnp.arange(npk, dtype=jnp.int32)[:, None],
+                           (npk, list_max))
+    pair_pk = jnp.full(cap + 1, npk - 1, jnp.int32).at[
+        pos.reshape(-1)].set(pks.reshape(-1), mode="drop")[:cap]
+    # tail slots (beyond total pairs) belong to the last packet as extra
+    # dummy pairs; monotone pk order is preserved
+    total = base[-1] + take[-1]
+    tail = jnp.arange(cap) >= total
+    pair_tnear = jnp.where(tail, _BIG, pair_tnear)
+    pair_first = jnp.concatenate([
+        jnp.ones(1, jnp.int32),
+        (pair_pk[1:] != pair_pk[:-1]).astype(jnp.int32)])
+
+    t, gid, b1, b2, visits, leaves, tests = _traverse_pairs(
+        pair_tid, pair_pk, pair_first, pair_tnear,
+        ds.tl_nodes, ds.tl_prims,
+        pox, poy, poz,
+        pk(d[:, 0]), pk(d[:, 1]), pk(d[:, 2]),
+        pix, piy, piz,
+        pk(kx, jnp.int32), pk(ky, jnp.int32), pk(kz, jnp.int32),
+        pk(sx), pk(sy), pk(sz), ptm,
+        tn=st.tl_tn, tp=st.tl_tp, max_leaf=st.max_leaf, any_hit=any_hit,
+        has_spheres=st.n_spheres > 0, interpret=interpret,
+        with_stats=with_stats)
+
+    t = t.reshape(-1)[:n]
+    gid = gid.reshape(-1)[:n]
+    b1 = b1.reshape(-1)[:n]
+    b2 = b2.reshape(-1)[:n]
+    visits = visits.reshape(-1)[:n]
+    leaves = leaves.reshape(-1)[:n]
+    tests = tests.reshape(-1)[:n]
+    # truncation = phase-1 list overflow + pairs dropped by the compaction
+    # budget (both farthest-first; nonzero means a possible missed hit)
+    trunc = jnp.repeat(ovf + jnp.maximum(trunc_pairs, 0), PACK)[:n]
+
+    if st.n_spheres > 0:
+        sid = jnp.clip(gid - st.n_tris, 0, max(st.n_spheres - 1, 0))
+        w2o = ds.sph_w2o[sid]
+        o_obj = jnp.einsum("nij,nj->ni", w2o[:, :3, :3], o[:n]) + w2o[:, :3, 3]
+        d_obj = jnp.einsum("nij,nj->ni", w2o[:, :3, :3], d[:n])
+        p_obj = o_obj + t[:, None] * d_obj
+    else:
+        p_obj = jnp.zeros((n, 3))
+
+    hit = Hit(valid=gid >= 0, t=t, prim=gid, b1=b1, b2=b2, p_obj=p_obj)
+    stats = TraversalStats(visits, leaves, tests, trunc)
+    return hit, stats

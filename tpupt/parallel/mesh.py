@@ -142,10 +142,15 @@ def train_step_fn(scene, mesh: Mesh, target):
     ds = jax.tree.map(lambda a: jax.device_put(a, repl), ds)
     target = jax.device_put(jnp.asarray(target), repl)
 
-    params0 = {"mat_kd": ds.mat_kd, "light_L": ds.light_L}
+    # every parameter table the shading chain differentiates through:
+    # diffuse/specular albedo, roughness, light radiance, the environment
+    # map texels, and the texture atlas (per-texel gradients)
+    params0 = {"mat_kd": ds.mat_kd, "mat_ks": ds.mat_ks,
+               "mat_roughness": ds.mat_roughness, "light_L": ds.light_L,
+               "env_map": ds.env_map, "tex_atlas": ds.tex_atlas}
 
     def render_L(params, sample_idx, px_b, py_b, valid_b):
-        ds2 = ds._replace(mat_kd=params["mat_kd"], light_L=params["light_L"])
+        ds2 = ds._replace(**params)
         jx, jy = sampler.camera_jitter(px_b, py_b, sample_idx)
         p_raster = jnp.stack([px_b.astype(jnp.float32) + jx,
                               py_b.astype(jnp.float32) + jy], -1)

@@ -116,6 +116,7 @@ class SceneDescription:
     accelerator_name: str = "bvh"
     accelerator_params: ParamSet = field(default_factory=ParamSet)
     named_materials: Dict[str, "MaterialSpec"] = field(default_factory=dict)
+    camera_medium: str = ""  # medium the camera sits in (MediumInterface)
 
 
 _START, _END = 0, 1  # animated transform slots (MaxTransforms == 2)
@@ -197,6 +198,9 @@ class SceneBuilder:
     def camera(self, name: str, params: ParamSet):
         self.out.camera_name = name
         self.out.camera_params = params
+        # the camera lives in the CURRENT outside medium (api.cpp pbrtCamera
+        # stores graphicsState.currentOutsideMedium as the camera medium)
+        self.out.camera_medium = self.gs.medium_interface.outside
         w2c = [Transform(t.m) for t in self.ctm]
         self.out.camera_to_world = AnimatedTransform(
             w2c[0].inverse(), self.transform_start_time,

@@ -123,6 +123,23 @@ class DeviceScene(NamedTuple):
     four_a: jnp.ndarray = None
     four_m: jnp.ndarray = None
     four_aoff: jnp.ndarray = None
+    # two-level HBM-streamed traversal tables (accel/treelets.py); 1-row
+    # dummies for scenes that fit the single-level VMEM budget
+    top_tiles: jnp.ndarray = None   # (Ntop, 8, 8) f32, VMEM-resident top tree
+    tl_nodes: jnp.ndarray = None    # (NT*TN, 64) f32, streamed node blocks
+    tl_prims: jnp.ndarray = None    # (NT*TP, 32) f32, streamed prim blocks
+    # per-interface media (media/media.py MediaTable; medium.h parity)
+    med_sigma_a: jnp.ndarray = None   # (M,3)
+    med_sigma_s: jnp.ndarray = None   # (M,3)
+    med_g: jnp.ndarray = None         # (M,)
+    med_majorant: jnp.ndarray = None  # (M,)
+    med_is_grid: jnp.ndarray = None   # (M,) bool
+    med_density: jnp.ndarray = None   # flat grid-texel atlas
+    med_dens_off: jnp.ndarray = None  # (M,) i32
+    med_dens_dims: jnp.ndarray = None  # (M,3) i32
+    med_w2m: jnp.ndarray = None       # (M,4,4)
+    prim_med_in: jnp.ndarray = None   # (P,) i32 global prim order, -1 vacuum
+    prim_med_out: jnp.ndarray = None  # (P,) i32
 
 
 class SceneStatics(NamedTuple):
@@ -143,6 +160,16 @@ class SceneStatics(NamedTuple):
     spatial_lights: bool = False  # light_grid_cdf is a real G^3 grid
     has_light_imgs: bool = False  # gonio/projection maps present
     fourier: object = None        # static table metadata dict or None
+    # two-level streamed traversal (accel/treelets.py)
+    two_level: bool = False
+    n_treelets: int = 0
+    tl_tn: int = 0
+    tl_tp: int = 0
+    # per-interface media (medium.h MediumInterface parity)
+    n_media: int = 0
+    camera_medium: int = -1
+    any_grid_media: bool = False
+    has_med_interfaces: bool = False
 
 
 def pack_prim_rows(scene: FlatScene, prim_ids: np.ndarray) -> np.ndarray:
@@ -188,6 +215,25 @@ def _pad1(a: np.ndarray, fill=0):
         return a
     shape = (1,) + a.shape[1:]
     return np.full(shape, fill, a.dtype)
+
+
+def nodes_to_tiles(wn: np.ndarray) -> np.ndarray:
+    """(Nw,64) wide rows -> (Nw,8,8) tiles with FLOAT-encoded metadata
+    (Mosaic cannot bitcast scalars): col6 > 0 interior child id; col6 < 0
+    leaf with count = -col6 and first = col7; col6 == 0 empty."""
+    out = np.zeros((wn.shape[0], 8, 8), np.float32)
+    meta = wn[:, 48:56].view(np.int32)
+    for c in range(8):
+        out[:, c, 0:6] = wn[:, c * 6 : c * 6 + 6]
+        m = meta[:, c]
+        is_int = m >= 0
+        is_empty = m == -2**31
+        v = np.where(is_int | is_empty, 0, -m - 1)
+        out[:, c, 6] = np.where(is_empty, 0.0,
+                                np.where(is_int, m.astype(np.float32),
+                                         -(v & 63).astype(np.float32)))
+        out[:, c, 7] = (v >> 6).astype(np.float32)
+    return out
 
 
 SPATIAL_GRID_RES = 16
@@ -248,8 +294,15 @@ def _spatial_light_grid(scene: FlatScene, lt, wlo, whi):
 
 
 def upload(scene: FlatScene, bvh: BVHArrays = None,
-           light_strategy: str = "uniform"):
-    """Build (DeviceScene, SceneStatics) from a flattened scene."""
+           light_strategy: str = "uniform", two_level: bool = None,
+           treelet_budget: tuple = None):
+    """Build (DeviceScene, SceneStatics) from a flattened scene.
+
+    two_level: force the two-level streamed traversal tables on/off
+    (default: automatic — built exactly when the single-level node+prim
+    tables exceed the Pallas VMEM budget). treelet_budget=(tn, tp)
+    overrides the per-treelet node/prim row capacities (tests use tiny
+    budgets to exercise multi-treelet paths on small scenes)."""
     if bvh is None:
         lo, hi = scene_prim_bounds(scene)
         params = scene.accelerator_params
@@ -275,23 +328,33 @@ def upload(scene: FlatScene, bvh: BVHArrays = None,
     wide_nodes, _ = collapse_to_wide(bvh)
     prim_rows = pack_prim_rows(scene, bvh.prim_ids)
 
-    def _nodes_to_tiles(wn):
-        """(Nw,64) -> (Nw,8,8) tiles with FLOAT-encoded metadata (Mosaic
-        cannot bitcast scalars): col6 > 0 interior child id; col6 < 0 leaf
-        with count = -col6 and first = col7; col6 == 0 empty."""
-        out = np.zeros((wn.shape[0], 8, 8), np.float32)
-        meta = wn[:, 48:56].view(np.int32)
-        for c in range(8):
-            out[:, c, 0:6] = wn[:, c * 6 : c * 6 + 6]
-            m = meta[:, c]
-            is_int = m >= 0
-            is_empty = m == -2**31
-            v = np.where(is_int | is_empty, 0, -m - 1)
-            out[:, c, 6] = np.where(is_empty, 0.0,
-                                    np.where(is_int, m.astype(np.float32),
-                                             -(v & 63).astype(np.float32)))
-            out[:, c, 7] = (v >> 6).astype(np.float32)
-        return out
+    # two-level streamed traversal: built when the single-level VMEM budget
+    # fails (or forced for tests); the single-level tiled duplicates then
+    # shrink to dummies (the streamed tables replace them)
+    from tpupt.accel import treelets as _tl
+    from tpupt.ops.traverse_pallas import vmem_budget_ok
+
+    if two_level is None:
+        two_level = not vmem_budget_ok(len(wide_nodes), len(prim_rows))
+    tla = None
+    if two_level:
+        tn, tp = treelet_budget or (_tl.TREELET_NODES, _tl.TREELET_PRIMS)
+        tla = _tl.build_treelets(wide_nodes, prim_rows, tn, tp)
+
+    # per-interface media table (MediaTable; dummies when no media)
+    from tpupt.media.media import build_media_table
+
+    mtab, any_grid = build_media_table(scene)
+    n_prims = scene.prim_count
+    med_in = np.full(max(n_prims, 1), -1, np.int32)
+    med_out = np.full(max(n_prims, 1), -1, np.int32)
+    if scene.triangles.count and scene.triangles.med_in is not None:
+        med_in[: scene.triangles.count] = scene.triangles.med_in
+        med_out[: scene.triangles.count] = scene.triangles.med_out
+    if scene.spheres.count and scene.spheres.med_in is not None:
+        med_in[scene.triangles.count: n_prims] = scene.spheres.med_in
+        med_out[scene.triangles.count: n_prims] = scene.spheres.med_out
+    has_ifaces = bool((med_in != med_out).any())
 
     n_lights = lt.count
     if light_strategy == "power" and n_lights > 0:
@@ -324,9 +387,34 @@ def upload(scene: FlatScene, bvh: BVHArrays = None,
         sph_reverse=jnp.asarray(_pad1(s.reverse)),
         wide_nodes=jnp.asarray(wide_nodes),
         prim_rows=jnp.asarray(prim_rows),
-        wide_nodes_tiled=jnp.asarray(_nodes_to_tiles(wide_nodes)),
+        wide_nodes_tiled=jnp.asarray(
+            nodes_to_tiles(wide_nodes) if not two_level
+            else np.zeros((1, 8, 8), np.float32)),
         prim_rows_padded=jnp.asarray(
-            np.concatenate([prim_rows, np.zeros((8, 32), np.float32)])),
+            np.concatenate([prim_rows, np.zeros((8, 32), np.float32)])
+            if not two_level else np.zeros((1, 32), np.float32)),
+        top_tiles=jnp.asarray(tla.top_tiles if tla
+                              else np.zeros((1, 8, 8), np.float32)),
+        tl_nodes=jnp.asarray(tla.tl_nodes if tla
+                             else np.zeros((1, 64), np.float32)),
+        tl_prims=jnp.asarray(tla.tl_prims if tla
+                             else np.zeros((1, 32), np.float32)),
+        med_sigma_a=(mtab.sigma_a if mtab
+                     else jnp.zeros((1, 3))),
+        med_sigma_s=(mtab.sigma_s if mtab
+                     else jnp.zeros((1, 3))),
+        med_g=mtab.g if mtab else jnp.zeros(1),
+        med_majorant=mtab.majorant if mtab else jnp.ones(1),
+        med_is_grid=(mtab.is_grid if mtab
+                     else jnp.zeros(1, bool)),
+        med_density=mtab.density if mtab else jnp.ones(1),
+        med_dens_off=(mtab.dens_off if mtab
+                      else jnp.zeros(1, jnp.int32)),
+        med_dens_dims=(mtab.dens_dims if mtab
+                       else jnp.ones((1, 3), jnp.int32)),
+        med_w2m=mtab.w2m if mtab else jnp.eye(4)[None],
+        prim_med_in=jnp.asarray(med_in),
+        prim_med_out=jnp.asarray(med_out),
         bvh_lo=jnp.asarray(bvh.lo), bvh_hi=jnp.asarray(bvh.hi),
         bvh_right=jnp.asarray(bvh.right), bvh_first=jnp.asarray(bvh.first),
         bvh_count=jnp.asarray(bvh.count), bvh_axis=jnp.asarray(bvh.axis),
@@ -392,6 +480,14 @@ def upload(scene: FlatScene, bvh: BVHArrays = None,
         fourier=(dict(m_max=ft["m_max"], n_mu=ft["n_mu"],
                       n_channels=ft["n_channels"], eta=ft["eta"])
                  if ft else None),
+        two_level=two_level,
+        n_treelets=tla.n_treelets if tla else 0,
+        tl_tn=tla.tn if tla else 0,
+        tl_tp=tla.tp if tla else 0,
+        n_media=len(scene.media_order or []),
+        camera_medium=scene.camera_medium,
+        any_grid_media=any_grid,
+        has_med_interfaces=has_ifaces,
     )
     return ds, statics
 

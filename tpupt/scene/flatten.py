@@ -80,6 +80,10 @@ class Triangles:
     uv2: np.ndarray
     mat: np.ndarray  # (T,) i32
     light: np.ndarray  # (T,) i32, -1 if not emissive
+    # MediumInterface (medium.h): media ids into FlatScene.media_order,
+    # -1 = vacuum. inside = the side OPPOSITE the geometric normal.
+    med_in: np.ndarray = None   # (T,) i32
+    med_out: np.ndarray = None  # (T,) i32
 
     @property
     def count(self) -> int:
@@ -99,6 +103,8 @@ class Spheres:
     mat: np.ndarray  # (S,) i32
     light: np.ndarray  # (S,) i32
     reverse: np.ndarray  # (S,) bool (reverse orientation ^ swaps handedness)
+    med_in: np.ndarray = None   # (S,) i32, -1 = vacuum
+    med_out: np.ndarray = None  # (S,) i32
 
     @property
     def count(self) -> int:
@@ -241,6 +247,8 @@ class FlatScene:
     fourier_table: Optional[dict] = None  # shared .bsdf table (fourier.py)
     env_light_id: int = -1                # light row using the env map
     env_w2l: Optional[np.ndarray] = None  # (3,3) world-to-light rotation
+    media_order: Optional[list] = None    # medium-id -> name (prim med_in/out)
+    camera_medium: int = -1               # medium the camera rays start in
 
     @property
     def prim_count(self) -> int:
@@ -660,6 +668,20 @@ def flatten(desc: SceneDescription, scene_dir: str = ".") -> FlatScene:
     light_rows: List[dict] = []
     tri_count = 0
 
+    # media: name -> id (MediumInterface per primitive, medium.h)
+    media_order = list(desc.media.keys())
+
+    def med_id(name: str) -> int:
+        return media_order.index(name) if name in media_order else -1
+
+    camera_medium = med_id(getattr(desc, "camera_medium", ""))
+    any_interface = any(r.medium_interface.inside or r.medium_interface.outside
+                        for r in all_shapes)
+    if media_order and not any_interface and camera_medium < 0:
+        # compat / common fog configuration: named media but no interfaces
+        # anywhere -> the first medium is the global camera medium
+        camera_medium = 0
+
     def add_area_lights_for_tris(n_tris: int, area_params, start_prim: int):
         name, lp = area_params
         L = lp.find_one_spectrum("L", [1, 1, 1]) * lp.find_one_float("scale", 1.0)
@@ -675,6 +697,11 @@ def flatten(desc: SceneDescription, scene_dir: str = ".") -> FlatScene:
         return ids
 
     for rec in all_shapes:
+        # raw ids; -1 = vacuum. A prim changes the ray's medium ONLY when
+        # inside != outside (MediumInterface::IsMediumTransition, medium.h);
+        # equal ids (incl. the no-interface default -1/-1) keep the medium.
+        mi_in = med_id(rec.medium_interface.inside)
+        mi_out = med_id(rec.medium_interface.outside)
         if rec.type == "sphere":
             mid = mats.add(rec.material)
             sph_rows.append(dict(
@@ -685,7 +712,7 @@ def flatten(desc: SceneDescription, scene_dir: str = ".") -> FlatScene:
                 phimax=np.deg2rad(rec.params.find_one_float("phimax", 360.0)),
                 mat=mid, light=-1,
                 reverse=rec.reverse_orientation ^ rec.object_to_world.swaps_handedness(),
-                area=rec.area_light))
+                area=rec.area_light, med_in=mi_in, med_out=mi_out))
             continue
         mesh = _shape_to_mesh(rec, scene_dir)
         if mesh is None:
@@ -730,15 +757,17 @@ def flatten(desc: SceneDescription, scene_dir: str = ".") -> FlatScene:
             p0=p0[keep], p1=p1[keep], p2=p2[keep],
             n0=n0[keep], n1=n1[keep], n2=n2[keep],
             uv0=uv0[keep], uv1=uv1[keep], uv2=uv2[keep],
-            mat=np.full(n_tris, mid), light=lids[keep]))
+            mat=np.full(n_tris, mid), light=lids[keep],
+            med_in=np.full(n_tris, mi_in), med_out=np.full(n_tris, mi_out)))
         tri_count += n_tris
 
     tris = Triangles(
         **{k: (np.concatenate([c[k] for c in tri_chunks]).astype(
-            np.int32 if k in ("mat", "light") else np.float32)
+            np.int32 if k in ("mat", "light", "med_in", "med_out")
+            else np.float32)
             if tri_chunks else _empty_tri_field(k))
            for k in ("p0", "p1", "p2", "n0", "n1", "n2", "uv0", "uv1", "uv2",
-                     "mat", "light")})
+                     "mat", "light", "med_in", "med_out")})
 
     # sphere area lights: prim ids come after triangles, so assign them now
     # that tri_count is final
@@ -772,6 +801,8 @@ def flatten(desc: SceneDescription, scene_dir: str = ".") -> FlatScene:
         mat=np.asarray([r["mat"] for r in sph_rows], np.int32),
         light=sph_light.astype(np.int32),
         reverse=np.asarray([r["reverse"] for r in sph_rows], bool),
+        med_in=np.asarray([r["med_in"] for r in sph_rows], np.int32),
+        med_out=np.asarray([r["med_out"] for r in sph_rows], np.int32),
     )
 
     # 3. non-area lights
@@ -912,7 +943,8 @@ def flatten(desc: SceneDescription, scene_dir: str = ".") -> FlatScene:
                      textures=tex_table.arrays(),
                      media=dict(desc.media),
                      env_map=env_state["map"], env_light_id=env_state["id"],
-                     env_w2l=env_state["w2l"], fourier_table=fourier_table)
+                     env_w2l=env_state["w2l"], fourier_table=fourier_table,
+                     media_order=media_order, camera_medium=camera_medium)
 
 
 def with_resolution(scene: FlatScene, xres: int, yres: int) -> FlatScene:
@@ -942,7 +974,7 @@ def with_resolution(scene: FlatScene, xres: int, yres: int) -> FlatScene:
 
 
 def _empty_tri_field(k: str):
-    if k in ("mat", "light"):
+    if k in ("mat", "light", "med_in", "med_out"):
         return np.zeros(0, np.int32)
     return np.zeros((0, 2 if k.startswith("uv") else 3), np.float32)
 

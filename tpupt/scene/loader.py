@@ -146,7 +146,8 @@ def _read_string(ts: _TokenStream, directive: str) -> str:
 
 
 DEFAULT_SUBST = {"$acc": '"bvh"', "$accnr": "3", "$splitalpha": "90",
-                 "$alphatype": '"linear"', "$axisselectiontype": '"mean"',
+                 # integer-typed in the reference (genericBSP.h:68)
+                 "$alphatype": "0", "$axisselectiontype": "0",
                  "$axisselectionamount": "-1"}
 
 

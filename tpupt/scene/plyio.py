@@ -124,3 +124,34 @@ def read_ply(path: str):
             tris.append([f[0], f[k], f[k + 1]])
     out["indices"] = np.asarray(tris, np.int32).reshape(-1, 3)
     return out
+
+
+def write_ply(path: str, P: np.ndarray, indices: np.ndarray,
+              N: Optional[np.ndarray] = None,
+              uv: Optional[np.ndarray] = None) -> None:
+    """Write a binary_little_endian PLY (obj2pbrt/cyhair2pbrt-style tooling
+    counterpart; also used by tools/genscene.py for benchmark geometry)."""
+    P = np.asarray(P, "<f4")
+    indices = np.asarray(indices, "<i4").reshape(-1, 3)
+    props = ["property float x", "property float y", "property float z"]
+    cols = [P]
+    if N is not None:
+        props += ["property float nx", "property float ny",
+                  "property float nz"]
+        cols.append(np.asarray(N, "<f4"))
+    if uv is not None:
+        props += ["property float u", "property float v"]
+        cols.append(np.asarray(uv, "<f4"))
+    vert = np.concatenate(cols, axis=1).astype("<f4")
+    header = "\n".join(
+        ["ply", "format binary_little_endian 1.0",
+         f"element vertex {len(P)}"] + props +
+        [f"element face {len(indices)}",
+         "property list uchar int vertex_indices", "end_header", ""])
+    face = np.empty((len(indices), 13), np.uint8)
+    face[:, 0] = 3
+    face[:, 1:] = indices.astype("<i4").view(np.uint8).reshape(-1, 12)
+    with open(path, "wb") as f:
+        f.write(header.encode("ascii"))
+        f.write(vert.tobytes())
+        f.write(face.tobytes())
