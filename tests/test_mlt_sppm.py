@@ -42,6 +42,54 @@ def test_mlt_converges_to_path():
     np.testing.assert_allclose(m.b, lum.mean(), rtol=0.15)
 
 
+_CAUSTIC = """
+LookAt 0 1.1 3.2  0 -0.6 0  0 1 0
+Camera "perspective" "float fov" [45]
+Film "image" "integer xresolution" [20] "integer yresolution" [20]
+Sampler "halton" "integer pixelsamples" [4]
+Integrator "path" "integer maxdepth" [4]
+WorldBegin
+LightSource "point" "rgb I" [30 30 30] "point from" [0 3 0]
+Material "glass"
+Shape "sphere" "float radius" [0.55]
+Material "matte" "rgb Kd" [0.7 0.7 0.7]
+Shape "trianglemesh" "point P" [-4 -1 -4  4 -1 -4  4 -1 4  -4 -1 4]
+  "integer indices" [0 1 2 2 3 0]
+WorldEnd
+"""
+
+
+def test_mlt_finds_caustics_where_path_stalls():
+    """The MLT-is-over-BDPT-strategies criterion (mlt.cpp:165 -> bdpt.cpp):
+    a point light focused through a glass sphere onto a diffuse floor is
+    unreachable for the unidirectional path kernel (NEE is blocked by the
+    sphere, BSDF sampling can never hit a point light), but BDPT's s >= 2
+    light-subpath strategies find it — so MLT must light the caustic."""
+    sc = flatten(parse_string(_CAUSTIC))
+    r = Renderer(sc)
+    ip = np.array(r.image(r.render(spp=16)))
+
+    # BDPT locates the caustic (its s >= 2 strategies find it)
+    scb = flatten(parse_string(_CAUSTIC.replace('"path"', '"bdpt"')))
+    rb = Renderer(scb)
+    ib = np.array(rb.image(rb.render(spp=16)))
+    lum_b = ib.mean(-1)
+    lower = lum_b[10:, :]
+    patch = lower >= np.quantile(lower, 0.95)  # brightest 5% = the caustic
+    assert lower[patch].mean() > 3.0 * ip[10:, :].mean(-1)[patch].mean() + 1e-4, \
+        "BDPT itself must see the caustic the path kernel misses"
+
+    from tpupt.integrators.mlt import MLTRenderer
+
+    m = MLTRenderer(r, n_bootstrap=4096, sigma=0.02)
+    im = m.render(mutations_per_pixel=24)
+    assert np.isfinite(im).all()
+    assert m.b > 0
+    # MLT must light the same caustic region the path kernel misses
+    lum_m = im.mean(-1)[10:, :]
+    assert lum_m[patch].mean() > 3.0 * ip[10:, :].mean(-1)[patch].mean() + 1e-4
+
+
 def test_sppm_converges_to_path():
     from tpupt.integrators.sppm import SPPMRenderer
 

@@ -387,6 +387,13 @@ def scene_prim_bounds(scene) -> tuple:
     los, his = [], []
     if tris.count:
         p = np.stack([tris.p0, tris.p1, tris.p2], 1)  # (T,3,3)
+        if tris.has_motion:
+            # conservative shutter-union bounds per prim: the vertex-lerp
+            # motion path sweeps p..p+dp, so the union of the two key
+            # positions bounds every intermediate time (linear motion)
+            pe = np.stack([tris.p0 + tris.dp0, tris.p1 + tris.dp1,
+                           tris.p2 + tris.dp2], 1)
+            p = np.concatenate([p, pe], 1)  # (T,6,3)
         los.append(p.min(1))
         his.append(p.max(1))
     if scene.spheres.count:

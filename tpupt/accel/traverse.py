@@ -48,13 +48,25 @@ class TraversalStats(NamedTuple):
     truncated: jnp.ndarray = None
 
 
+def _motion_time(st, time, n):
+    """Normalized shutter time in [0,1] for vertex-lerp motion; None when
+    the scene is static (gates the delta gathers out of the trace)."""
+    if not getattr(st, "has_motion", False):
+        return None
+    if time is None:
+        return jnp.full(n, 0.5)  # mid-shutter fallback (pre-motion behavior)
+    return time
+
+
 def intersect(ds: DeviceScene, st: SceneStatics, o, d, tmax,
-              any_hit: bool = False):
+              any_hit: bool = False, time=None):
     """Closest-hit (or any-hit) traversal for a ray batch.
 
-    o, d: (N,3); tmax: (N,). Returns (Hit, TraversalStats).
+    o, d: (N,3); tmax: (N,); time: optional (N,) normalized shutter time
+    for vertex-lerp motion blur. Returns (Hit, TraversalStats).
     """
     n = o.shape[0]
+    time = _motion_time(st, time, n)
     perm = ray_permutation(d)
     inv_d = ray_inv_d(d)
     d_axis_sign = d >= 0.0  # (N,3)
@@ -124,8 +136,14 @@ def intersect(ds: DeviceScene, st: SceneStatics, o, d, tmax,
             is_tri = pid < st.n_tris
             if st.n_tris > 0:
                 tid = jnp.clip(pid, 0, st.n_tris - 1)
+                v0, v1, v2 = ds.tri_p0[tid], ds.tri_p1[tid], ds.tri_p2[tid]
+                if time is not None:
+                    tm = time[:, None]
+                    v0 = v0 + tm * ds.tri_dp0[tid]
+                    v1 = v1 + tm * ds.tri_dp1[tid]
+                    v2 = v2 + tm * ds.tri_dp2[tid]
                 h_t, tt, _, tb1, tb2 = intersect_triangle(
-                    o, perm, ds.tri_p0[tid], ds.tri_p1[tid], ds.tri_p2[tid], t_cur
+                    o, perm, v0, v1, v2, t_cur
                 )
                 win = valid & is_tri & h_t & (tt > 1e-6) & (tt < t_cur)
                 t_cur = jnp.where(win, tt, t_cur)
@@ -168,9 +186,9 @@ def intersect(ds: DeviceScene, st: SceneStatics, o, d, tmax,
     return hit, TraversalStats(out.nodes, out.leaves, out.tests)
 
 
-def intersect_p(ds: DeviceScene, st: SceneStatics, o, d, tmax):
+def intersect_p(ds: DeviceScene, st: SceneStatics, o, d, tmax, time=None):
     """Shadow-ray occlusion test (BVHAccel::IntersectP, bvh.cpp:398)."""
-    hit, stats = intersect_wide(ds, st, o, d, tmax, any_hit=True)
+    hit, stats = intersect_wide(ds, st, o, d, tmax, any_hit=True, time=time)
     return hit.valid, stats
 
 
@@ -190,13 +208,16 @@ def _bitcast_i32(x):
 
 
 def intersect_wide(ds: DeviceScene, st: SceneStatics, o, d, tmax,
-                   any_hit: bool = False):
+                   any_hit: bool = False, time=None):
     """The hot traversal: 8-wide BVH with one 256B node-row gather per step
     and one 128B prim-row gather per primitive test (see
     bvh.collapse_to_wide / device.pack_prim_rows for the layouts). Children
     are ordered by slab-entry distance with an 8-element sorting network and
-    pushed far-to-near. Returns (Hit, TraversalStats) like `intersect`."""
+    pushed far-to-near. Node bounds cover the shutter union, so with
+    `time` set the per-prim vertex-lerp (prim_rows_dt) stays conservative.
+    Returns (Hit, TraversalStats) like `intersect`."""
     n = o.shape[0]
+    time = _motion_time(st, time, n)
     perm = ray_permutation(d)
     inv_d = ray_inv_d(d)
     i32 = jnp.int32
@@ -289,9 +310,16 @@ def intersect_wide(ds: DeviceScene, st: SceneStatics, o, d, tmax,
             tests = tests + valid.astype(i32)
             p_is_tri = _bitcast_i32(prow[:, 17]) == 1
             p_gid = _bitcast_i32(prow[:, 16])
-            # triangle test
+            # triangle test (vertex-lerped at the ray time under motion)
+            v0, v1, v2 = prow[:, 0:3], prow[:, 3:6], prow[:, 6:9]
+            if time is not None:
+                drow = ds.prim_rows_dt[idx]
+                tm = time[:, None]
+                v0 = v0 + tm * drow[:, 0:3]
+                v1 = v1 + tm * drow[:, 3:6]
+                v2 = v2 + tm * drow[:, 6:9]
             h_t, tt, _, tb1, tb2 = intersect_triangle(
-                o, perm, prow[:, 0:3], prow[:, 3:6], prow[:, 6:9], t_cur)
+                o, perm, v0, v1, v2, t_cur)
             win = valid & p_is_tri & h_t & (tt > 1e-6) & (tt < t_cur)
             t_cur = jnp.where(win, tt, t_cur)
             gid = jnp.where(win, p_gid, gid)
@@ -363,9 +391,10 @@ def _sphere_quadratic(o, d, tmax, radius, zmin, zmax, phimax):
     return use0 | use1, t, None
 
 
-def intersect_brute(ds: DeviceScene, st: SceneStatics, o, d, tmax):
+def intersect_brute(ds: DeviceScene, st: SceneStatics, o, d, tmax, time=None):
     """O(N*P) ground-truth intersector for validation (tests only)."""
     n = o.shape[0]
+    time = _motion_time(st, time, n)
     perm = ray_permutation(d)
     t_cur = jnp.asarray(tmax, jnp.float32)
     prim = jnp.full(n, -1, jnp.int32)
@@ -373,8 +402,14 @@ def intersect_brute(ds: DeviceScene, st: SceneStatics, o, d, tmax):
     b2 = jnp.zeros(n, jnp.float32)
     p_obj = jnp.zeros((n, 3), jnp.float32)
     for tid in range(st.n_tris):
+        v0, v1, v2 = ds.tri_p0[tid], ds.tri_p1[tid], ds.tri_p2[tid]
+        if time is not None:
+            tm = time[:, None]
+            v0 = v0 + tm * ds.tri_dp0[tid]
+            v1 = v1 + tm * ds.tri_dp1[tid]
+            v2 = v2 + tm * ds.tri_dp2[tid]
         h, tt, _, tb1, tb2 = intersect_triangle(
-            o, perm, ds.tri_p0[tid], ds.tri_p1[tid], ds.tri_p2[tid], t_cur)
+            o, perm, v0, v1, v2, t_cur)
         win = h & (tt > 1e-6) & (tt < t_cur)
         t_cur = jnp.where(win, tt, t_cur)
         prim = jnp.where(win, tid, prim)

@@ -229,10 +229,41 @@ def _find_primitive_polys(count: int):
 
 
 @functools.lru_cache(maxsize=None)
+def _joekuo_data():
+    """Compact Joe & Kuo initialization dataset (new-joe-kuo-6, the public
+    data sobolmatrices.cpp was generated from), checked in as
+    core/sobol_joekuo.npz by tools/gen_sobol.py. None if absent."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "sobol_joekuo.npz")
+    if not os.path.exists(path):
+        return None
+    return np.load(path)
+
+
+@functools.lru_cache(maxsize=None)
 def sobol_matrices(n_dims: int = 64, n_bits: int = 32) -> np.ndarray:
-    """Generate Sobol direction-number matrices, shape (n_dims, n_bits) uint32.
+    """Sobol direction-number matrices, shape (n_dims, n_bits) uint32.
     Column j is v_j scaled so that bit 31 is the most significant output bit
-    (matches sobolmatrices.cpp layout). Dim 0 = van der Corput."""
+    (matches sobolmatrices.cpp layout). Dim 0 = van der Corput.
+
+    Generated from the published Joe-Kuo direction numbers (dimension-for-
+    dimension identical to the reference's SobolMatrices32 for the first
+    1024 dims — tools/gen_sobol.py verifies the round trip); dimensions
+    beyond the dataset fall back to the self-generated construction."""
+    jk = _joekuo_data()
+    if jk is not None and n_bits == 32 and n_dims <= len(jk["s"]):
+        from tpupt.tools.gen_sobol import _regen
+
+        mats = np.zeros((n_dims, 32), np.uint32)
+        mats[0] = np.uint32(1) << np.arange(31, -1, -1, dtype=np.uint32)
+        s_arr, a_arr, m_off, m_flat = (jk["s"], jk["a"], jk["m_off"],
+                                       jk["m"])
+        for d in range(1, n_dims):
+            s = int(s_arr[d])
+            mats[d] = _regen(s, int(a_arr[d]),
+                             m_flat[m_off[d]: m_off[d] + s])
+        return mats
     rng = np.random.default_rng(1234)
     polys = _find_primitive_polys(n_dims)
     mats = np.zeros((n_dims, n_bits), np.uint64)

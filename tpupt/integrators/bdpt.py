@@ -497,19 +497,39 @@ def mis_weight(ds, st, features, cam_verts, light_verts, s, t, overrides,
 
 
 def bdpt_li(ds, st, sampler, max_depth, px, py, sample_idx, o, d,
-            isect, isect_p, xres, yres, valid=None):
+            isect, isect_p, xres, yres, valid=None, strategy=None,
+            p_raster_cam=None):
     """One full-frame BDPT wavefront: returns (L, aov_dummy, splat_pfilm,
     splat_L) — L goes through the filter-weighted film path (t >= 2
     strategies), splats are the t == 1 light-path contributions. `valid`
     masks padded wavefront lanes: a padded lane must NOT emit a light
     subpath (the splat count normalization is one light path per real
-    pixel sample, bdpt.cpp:365)."""
+    pixel sample, bdpt.cpp:365).
+
+    `strategy=(s_sel, t_sel)` switches to multiplexed single-strategy mode
+    (the MLT path kernel, mlt.cpp:151-163): each lane evaluates ONLY its
+    selected (s, t) strategy, scaled by nStrategies = s_sel + t_sel (the
+    uniform strategy-choice pmf), and the return becomes (L, p_raster) —
+    p_raster is the lane's camera raster (`p_raster_cam`) for t >= 2
+    strategies or the lens-projected raster for t == 1 splat strategies.
+    Unselected / uncovered strategies contribute exactly 0, matching the
+    reference's zero-valued ConnectBDPT cases."""
     features = st.mat_features
     n = o.shape[0]
     if valid is None:
         valid = jnp.ones(n, bool)
     t_max = max_depth + 2
     s_max = max_depth + 1
+    if strategy is not None:
+        s_sel, t_sel = strategy
+        n_strats = (s_sel + t_sel).astype(jnp.float32)
+
+        def _sel(s, t):
+            return (s_sel == s) & (t_sel == t)
+    else:
+        def _sel(s, t):
+            return jnp.ones(n, bool)
+        n_strats = jnp.ones(n)
 
     cam_pos = o
     c2w = ds.cam_to_world
@@ -623,7 +643,8 @@ def bdpt_li(ds, st, sampler, max_depth, px, py, sample_idx, o, d,
         w0 = mis_weight(ds, st, features, cam_verts, light_verts, 0, t, ov,
                         jnp.zeros(n, bool), None)
         w0 = jnp.where(t == 2, 1.0, w0)  # directly visible light
-        L = L + jnp.where(can0[..., None], c0 * w0[..., None], 0.0)
+        L = L + jnp.where((can0 & _sel(0, t))[..., None],
+                          c0 * (w0 * n_strats)[..., None], 0.0)
 
         for s in range(1, s_max + 1):
             if s + t > max_depth + 2:
@@ -695,7 +716,8 @@ def bdpt_li(ds, st, sampler, max_depth, px, py, sample_idx, o, d,
                     pdf_light_origin(ds, st, lid1, pmf1))
                 w = mis_weight(ds, st, features, cam_verts, lv, 1, t, ov,
                                ls.is_delta, l0_fwd)
-                L = L + jnp.where(can[..., None], c * w[..., None], 0.0)
+                L = L + jnp.where((can & _sel(1, t))[..., None],
+                                  c * (w * n_strats)[..., None], 0.0)
             else:
                 qs = light_verts[s - 1]
                 qsm = light_verts[s - 2]
@@ -720,7 +742,8 @@ def bdpt_li(ds, st, sampler, max_depth, px, py, sample_idx, o, d,
                 # (bdpt.h:259, bdpt.cpp:291)
                 w = mis_weight(ds, st, features, cam_verts, light_verts,
                                s, t, ov, delta_o | delta_d, None)
-                L = L + jnp.where(can[..., None], c * w[..., None], 0.0)
+                L = L + jnp.where((can & _sel(s, t))[..., None],
+                                  c * (w * n_strats)[..., None], 0.0)
 
     # ---- t == 1: light subpath to the camera lens (bdpt.cpp:410) ----
     for s in range(2, s_max + 2):
@@ -751,8 +774,24 @@ def bdpt_li(ds, st, sampler, max_depth, px, py, sample_idx, o, d,
         }
         w = mis_weight(ds, st, features, [v_cam0], light_verts, s, 1, ov,
                        delta_o | delta_d, None)
-        splat_p.append(jnp.where(can[..., None], praster, -1.0))
-        splat_L.append(jnp.where(can[..., None], c * w[..., None], 0.0))
+        if strategy is None:
+            splat_p.append(jnp.where(can[..., None], praster, -1.0))
+            splat_L.append(jnp.where(can[..., None], c * w[..., None], 0.0))
+        else:
+            sel = can & _sel(s, 1)
+            L = L + jnp.where(sel[..., None],
+                              c * (w * n_strats)[..., None], 0.0)
+            splat_p.append(jnp.where(sel[..., None], praster, 0.0))
+
+    if strategy is not None:
+        # lane raster: lens projection for the selected t == 1 strategy,
+        # the lane's own camera raster otherwise (mlt.cpp:160 pRaster)
+        pr_out = p_raster_cam
+        is_t1 = t_sel == 1
+        if splat_p:
+            pr_t1 = sum(splat_p)
+            pr_out = jnp.where(is_t1[..., None], pr_t1, pr_out)
+        return L, pr_out
 
     if splat_p:
         sp_p = jnp.concatenate(splat_p)

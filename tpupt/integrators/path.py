@@ -160,6 +160,8 @@ def make_sorted_isect(isect, isect_p):
     def isect_sorted(ds, st, o, d, tmax, **kw):
         n = o.shape[0]
         perm = jnp.argsort(ray_sort_keys(o, d, tmax, ds.world_lo, ds.world_hi))
+        if kw.get("time") is not None:
+            kw["time"] = kw["time"][perm]
         hit, stats = isect(ds, st, o[perm], d[perm], tmax[perm], **kw)
         inv = jnp.zeros(n, jnp.int32).at[perm].set(
             jnp.arange(n, dtype=jnp.int32))
@@ -167,10 +169,12 @@ def make_sorted_isect(isect, isect_p):
         stats = jax.tree.map(lambda a: a[inv], stats)
         return hit, stats
 
-    def isect_p_sorted(ds, st, o, d, tmax):
+    def isect_p_sorted(ds, st, o, d, tmax, **kw):
         n = o.shape[0]
         perm = jnp.argsort(ray_sort_keys(o, d, tmax, ds.world_lo, ds.world_hi))
-        occ, stats = isect_p(ds, st, o[perm], d[perm], tmax[perm])
+        if kw.get("time") is not None:
+            kw["time"] = kw["time"][perm]
+        occ, stats = isect_p(ds, st, o[perm], d[perm], tmax[perm], **kw)
         inv = jnp.zeros(n, jnp.int32).at[perm].set(
             jnp.arange(n, dtype=jnp.int32))
         return occ[inv], jax.tree.map(lambda a: a[inv], stats)
@@ -197,6 +201,10 @@ def pick_traversal(st: SceneStatics, force: str = None,
         use_pallas = use_stream = False
     elif not on_tpu:
         use_pallas = use_stream = False
+    if getattr(st, "has_motion", False):
+        # the pallas packet kernels intersect baked static rows; motion
+        # scenes run the XLA wide path with per-ray vertex-lerp
+        use_pallas = use_stream = False
     if use_pallas or use_stream:
         from tpupt.ops.traverse_stream import intersect_packets_streamed
 
@@ -215,7 +223,7 @@ def pick_traversal(st: SceneStatics, force: str = None,
 
 def path_li(ds: DeviceScene, st: SceneStatics, sampler: WavefrontSampler,
             max_depth: int, rr_threshold: float,
-            px, py, sample_idx, o, d, isect=None, isect_p=None):
+            px, py, sample_idx, o, d, isect=None, isect_p=None, time=None):
     if isect is None:
         isect, isect_p = pick_traversal(st)
 
@@ -224,10 +232,14 @@ def path_li(ds: DeviceScene, st: SceneStatics, sampler: WavefrontSampler,
         # pallas have no reverse rule). Detached-geometry gradients: material
         # and light cotangents flow through the shading chain only
         # (SURVEY.md §7 step 7 — detached-sampling estimator).
+        if time is not None:
+            k.setdefault("time", time)
         hit, stats = isect(*a, **k)
         return jax.tree.map(jax.lax.stop_gradient, hit), stats
 
     def intersect_p(*a, **k):
+        if time is not None:
+            k.setdefault("time", time)
         occ, stats = isect_p(*a, **k)
         return jax.lax.stop_gradient(occ), stats
     """Trace one batch of camera rays to completion.
@@ -605,11 +617,13 @@ class Renderer:
             self.accel_nodes, self.accel_dirs = nodes, dirs
             ds_, st_ = self.ds, self.st
 
-            def isect(ds, st, o, d, tmax, any_hit=False):
+            def isect(ds, st, o, d, tmax, any_hit=False, **kw):
+                # kd/BSP trees are built over shutter-union bounds but test
+                # static mid-shutter prims; per-ray time is ignored here
                 return intersect_kdbsp(nodes, dirs, ds, st, o, d, tmax,
                                        max_leaf, any_hit=any_hit)
 
-            def isect_p(ds, st, o, d, tmax):
+            def isect_p(ds, st, o, d, tmax, **kw):
                 hit, stats = isect(ds, st, o, d, tmax, any_hit=True)
                 return hit.valid, stats
 
@@ -637,6 +651,12 @@ class Renderer:
                                   py_b.astype(jnp.float32) + jy], -1)
             ul1 = sampler.dim(px_b, py_b, sample_idx, 2)
             ul2 = sampler.dim(px_b, py_b, sample_idx, 3)
+            # per-ray shutter time (CameraSample::time, camera.h:67):
+            # normalized to [0,1] for the vertex-lerp motion tables
+            if st.has_motion or st.cam_animated:
+                time = sampler.dim(px_b, py_b, sample_idx, 4)
+            else:
+                time = None
             if cam.lens_data is not None:
                 # realistic lens-stack camera (cameras/realistic.py);
                 # vignetted lanes contribute black
@@ -650,7 +670,12 @@ class Renderer:
                                      ds.cam_to_world, p_raster,
                                      jnp.stack([ul1, ul2], -1),
                                      cam.lens_radius, cam.focal_distance,
-                                     xres, yres)
+                                     xres, yres,
+                                     cam_q=(ds.cam_q if st.cam_animated
+                                            else None),
+                                     cam_tr=(ds.cam_tr if st.cam_animated
+                                             else None),
+                                     time=time)
                 cam_alive = None
             name = scene.integrator.name
             if name == "volpath" and st.n_media > 0:
@@ -672,7 +697,8 @@ class Renderer:
                 # shared sample loop they estimate with the path kernel
                 L, aov = path_li(ds, st, sampler, max_depth, rr_threshold,
                                  px_b, py_b, sample_idx, o, d,
-                                 isect=self._isect, isect_p=self._isect_p)
+                                 isect=self._isect, isect_p=self._isect_p,
+                                 time=time)
             elif name in ("directlighting", "whitted"):
                 from tpupt.integrators.direct import direct_lighting_li
 
@@ -690,7 +716,8 @@ class Renderer:
             else:
                 L, aov = path_li(ds, st, sampler, max_depth, rr_threshold,
                                  px_b, py_b, sample_idx, o, d,
-                                 isect=self._isect, isect_p=self._isect_p)
+                                 isect=self._isect, isect_p=self._isect_p,
+                                 time=time)
             # NaN/inf clamping to black (integrator.cpp:300-321)
             bad = ~jnp.isfinite(L).all(-1) | (jnp.min(L, -1) < 0.0)
             L = jnp.where(bad[..., None], 0.0, L)

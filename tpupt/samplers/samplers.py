@@ -45,6 +45,19 @@ class WavefrontSampler:
             self.perm_c = [int(rng.integers(0, p)) for p in ld.PRIMES]
         elif name in ("sobol", "02sequence", "lowdiscrepancy", "maxmindist"):
             self.matrices = jnp.asarray(ld.sobol_matrices(64))
+            self.cpixel = None
+            if name == "maxmindist":
+                # published max-min-distance (0,2)-sequence generator
+                # matrices (CMaxMinDist, lowdiscrepancy.cpp:249; selected by
+                # log2(spp), maxmin.h:54-77). Pixel dims (0,1) become
+                # (i/spp, C x i); higher dims stay scrambled Sobol.
+                jk = ld._joekuo_data()
+                if jk is not None and "cmaxmindist" in jk:
+                    spp2 = 1 << max(int(np.ceil(np.log2(max(spp, 1)))), 0)
+                    cidx = min(int(np.log2(spp2)), jk["cmaxmindist"].shape[0] - 1)
+                    self.spp_pow2 = 1 << cidx
+                    self.cpixel = jnp.asarray(
+                        jk["cmaxmindist"][cidx][None, :])
         elif name == "stratified":
             pass
         elif name == "random":
@@ -59,6 +72,25 @@ class WavefrontSampler:
         if self.name == "halton":
             idx = self._halton_index(px, py, s)
             return self.indexer.sample_dim01(idx)
+        if self.name == "maxmindist" and self.cpixel is not None:
+            # (i/spp, CPixel x i) with a per-pixel XOR shuffle of the sample
+            # order (maxmin.cpp:44-46's Shuffle, stateless analog: an XOR
+            # mask permutes [0, 2^k) and keeps the point set intact)
+            px_ = px.astype(jnp.uint32)
+            py_ = py.astype(jnp.uint32)
+            mask = rng.uniform_u32(px_, py_, jnp.uint32(self.seed),
+                                   jnp.uint32(0x51ab)) \
+                % jnp.uint32(self.spp_pow2)
+            i = (jnp.asarray(s).astype(jnp.uint32)
+                 % jnp.uint32(self.spp_pow2)) ^ mask
+            u1 = i.astype(jnp.float32) / jnp.float32(self.spp_pow2)
+            bits = ld.sobol_sample_bits(i, 0, self.cpixel)
+            u2 = jnp.minimum(
+                bits.astype(jnp.float32) * jnp.float32(2.3283064365386963e-10),
+                jnp.float32(1.0 - 1e-7))
+            u1 = jnp.broadcast_to(u1, px_.shape)
+            u2 = jnp.broadcast_to(u2, px_.shape)
+            return u1, u2
         u1 = self.dim(px, py, s, 0)
         u2 = self.dim(px, py, s, 1)
         return u1, u2

@@ -68,6 +68,10 @@ class ShapeRecord:
     reverse_orientation: bool
     medium_interface: MediumInterfaceSpec
     filename: str = ""
+    # shutter-close transform when the CTM is animated (the reference wraps
+    # such shapes in an animated TransformedPrimitive, api.cpp:1606);
+    # None = static
+    object_to_world_end: Optional[Transform] = None
 
 
 @dataclass
@@ -293,12 +297,17 @@ class SceneBuilder:
         )
 
     def shape(self, name: str, params: ParamSet, filename: str = ""):
+        import numpy as _np
+
+        animated = not _np.allclose(self.ctm[0].m, self.ctm[1].m)
         rec = ShapeRecord(
             name, params, Transform(self.ctm[0].m), self.gs.material,
             self.gs.area_light, self.gs.reverse_orientation,
             MediumInterfaceSpec(self.gs.medium_interface.inside,
                                 self.gs.medium_interface.outside),
             filename,
+            object_to_world_end=(Transform(self.ctm[1].m) if animated
+                                 else None),
         )
         if self.current_object is not None:
             self.out.objects[self.current_object].append(rec)

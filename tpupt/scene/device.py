@@ -140,6 +140,14 @@ class DeviceScene(NamedTuple):
     med_w2m: jnp.ndarray = None       # (M,4,4)
     prim_med_in: jnp.ndarray = None   # (P,) i32 global prim order, -1 vacuum
     prim_med_out: jnp.ndarray = None  # (P,) i32
+    # vertex-lerp motion blur (Triangles.dp*; transform.cpp:1144 parity):
+    # 1-row dummies for static scenes (st.has_motion gates the gathers out)
+    tri_dp0: jnp.ndarray = None       # (T,3)
+    tri_dp1: jnp.ndarray = None
+    tri_dp2: jnp.ndarray = None
+    prim_rows_dt: jnp.ndarray = None  # (P,9) leaf-order vertex deltas
+    cam_q: jnp.ndarray = None         # (2,4) camera rotation keys (quat)
+    cam_tr: jnp.ndarray = None        # (2,3) camera translation keys
 
 
 class SceneStatics(NamedTuple):
@@ -170,6 +178,11 @@ class SceneStatics(NamedTuple):
     camera_medium: int = -1
     any_grid_media: bool = False
     has_med_interfaces: bool = False
+    # per-ray-time motion blur (vertex-lerp; AnimatedTransform parity)
+    has_motion: bool = False
+    cam_animated: bool = False
+    shutter_open: float = 0.0
+    shutter_close: float = 1.0
 
 
 def pack_prim_rows(scene: FlatScene, prim_ids: np.ndarray) -> np.ndarray:
@@ -206,6 +219,24 @@ def pack_prim_rows(scene: FlatScene, prim_ids: np.ndarray) -> np.ndarray:
     # float-encoded copies for the pallas kernel (scalar bitcast unsupported)
     rows[:n, 18] = prim_ids.astype(np.float32)
     rows[:n, 19] = tri_mask.astype(np.float32)
+    return rows
+
+
+def pack_prim_row_deltas(scene: FlatScene, prim_ids: np.ndarray) -> np.ndarray:
+    """Leaf-order vertex motion deltas matching pack_prim_rows: (P,9) with
+    triangle dp0 dp1 dp2 (zeros for spheres/static prims). Gathered next to
+    prim_rows when st.has_motion so the wide traversal lerps vertices at the
+    ray's shutter time."""
+    t = scene.triangles
+    prim_ids = np.asarray(prim_ids, np.int64)
+    n = len(prim_ids)
+    rows = np.zeros((max(n, 1), 9), np.float32)
+    tri_mask = prim_ids < t.count
+    tid = prim_ids[tri_mask]
+    if tid.size and t.dp0 is not None:
+        rows[tri_mask, 0:3] = t.dp0[tid]
+        rows[tri_mask, 3:6] = t.dp1[tid]
+        rows[tri_mask, 6:9] = t.dp2[tid]
     return rows
 
 
@@ -328,6 +359,25 @@ def upload(scene: FlatScene, bvh: BVHArrays = None,
     wide_nodes, _ = collapse_to_wide(bvh)
     prim_rows = pack_prim_rows(scene, bvh.prim_ids)
 
+    # vertex-lerp motion blur tables (dummies for static scenes)
+    has_motion = scene.triangles.has_motion
+    prim_rows_dt = (pack_prim_row_deltas(scene, bvh.prim_ids) if has_motion
+                    else np.zeros((1, 9), np.float32))
+    cam = scene.camera
+    cam_animated = getattr(cam, "cam_to_world_end", None) is not None
+    if cam_animated:
+        from tpupt.core.transforms import decompose
+
+        t0_, q0_, _ = decompose(np.asarray(cam.cam_to_world, np.float64))
+        t1_, q1_, _ = decompose(np.asarray(cam.cam_to_world_end, np.float64))
+        if np.dot(q0_, q1_) < 0.0:
+            q1_ = -q1_
+        cam_q = np.stack([q0_, q1_]).astype(np.float32)
+        cam_tr = np.stack([t0_, t1_]).astype(np.float32)
+    else:
+        cam_q = np.array([[1, 0, 0, 0], [1, 0, 0, 0]], np.float32)  # (w,x,y,z)
+        cam_tr = np.zeros((2, 3), np.float32)
+
     # two-level streamed traversal: built when the single-level VMEM budget
     # fails (or forced for tests); the single-level tiled duplicates then
     # shrink to dummies (the streamed tables replace them)
@@ -415,6 +465,15 @@ def upload(scene: FlatScene, bvh: BVHArrays = None,
         med_w2m=mtab.w2m if mtab else jnp.eye(4)[None],
         prim_med_in=jnp.asarray(med_in),
         prim_med_out=jnp.asarray(med_out),
+        tri_dp0=jnp.asarray(_pad1(t.dp0) if t.dp0 is not None
+                            else np.zeros((1, 3), np.float32)),
+        tri_dp1=jnp.asarray(_pad1(t.dp1) if t.dp1 is not None
+                            else np.zeros((1, 3), np.float32)),
+        tri_dp2=jnp.asarray(_pad1(t.dp2) if t.dp2 is not None
+                            else np.zeros((1, 3), np.float32)),
+        prim_rows_dt=jnp.asarray(prim_rows_dt),
+        cam_q=jnp.asarray(cam_q),
+        cam_tr=jnp.asarray(cam_tr),
         bvh_lo=jnp.asarray(bvh.lo), bvh_hi=jnp.asarray(bvh.hi),
         bvh_right=jnp.asarray(bvh.right), bvh_first=jnp.asarray(bvh.first),
         bvh_count=jnp.asarray(bvh.count), bvh_axis=jnp.asarray(bvh.axis),
@@ -488,6 +547,10 @@ def upload(scene: FlatScene, bvh: BVHArrays = None,
         camera_medium=scene.camera_medium,
         any_grid_media=any_grid,
         has_med_interfaces=has_ifaces,
+        has_motion=has_motion,
+        cam_animated=cam_animated,
+        shutter_open=float(cam.shutter_open),
+        shutter_close=float(cam.shutter_close),
     )
     return ds, statics
 

@@ -84,10 +84,26 @@ class Triangles:
     # -1 = vacuum. inside = the side OPPOSITE the geometric normal.
     med_in: np.ndarray = None   # (T,) i32
     med_out: np.ndarray = None  # (T,) i32
+    # Per-vertex motion deltas over the shutter: p(t) = p + t * dp with
+    # t in [0,1] normalized shutter time. TPU-first substitution for the
+    # reference's per-ray AnimatedTransform interpolation
+    # (transform.cpp:1144 + TransformedPrimitive::Intersect): geometry is
+    # baked at shutter open AND close and vertex-lerped per ray — the
+    # standard motion-BVH representation of GPU ray tracers, exact for
+    # translations, chordal (2nd-order) for rotations between the 2 keys.
+    dp0: np.ndarray = None  # (T,3) f32, None = static scene
+    dp1: np.ndarray = None
+    dp2: np.ndarray = None
 
     @property
     def count(self) -> int:
         return len(self.p0)
+
+    @property
+    def has_motion(self) -> bool:
+        return self.dp0 is not None and bool(np.any(self.dp0) or
+                                             np.any(self.dp1) or
+                                             np.any(self.dp2))
 
 
 @dataclass
@@ -191,6 +207,9 @@ class CameraConfig:
     lens_data: np.ndarray = None  # (E,4) lens stack (realistic camera)
     lens_z: np.ndarray = None     # (E,) interface vertex z positions
     film_diag: float = 0.035      # physical film diagonal in meters
+    # shutter-close camera-to-world for animated cameras (per-ray slerp in
+    # raygen, AnimatedTransform::InterpolateRay parity); None = static
+    cam_to_world_end: np.ndarray = None
 
 
 @dataclass
@@ -258,7 +277,11 @@ class FlatScene:
     def world_bounds(self) -> Tuple[np.ndarray, np.ndarray]:
         los, his = [], []
         if self.triangles.count:
-            p = np.concatenate([self.triangles.p0, self.triangles.p1, self.triangles.p2])
+            t = self.triangles
+            p = np.concatenate([t.p0, t.p1, t.p2])
+            if t.has_motion:  # union over the shutter (BoundPointMotion)
+                p = np.concatenate(
+                    [p, t.p0 + t.dp0, t.p1 + t.dp1, t.p2 + t.dp2])
             los.append(p.min(0))
             his.append(p.max(0))
         if self.spheres.count:
@@ -651,13 +674,18 @@ def flatten(desc: SceneDescription, scene_dir: str = ".") -> FlatScene:
     # 1. instantiate objects (TransformedPrimitive flattening)
     all_shapes: List[ShapeRecord] = list(desc.shapes)
     for inst in desc.instances:
-        i2w = inst.instance_to_world.interpolate(
-            0.5 * (inst.instance_to_world.start_time + inst.instance_to_world.end_time))
+        at = inst.instance_to_world
+        i2w_open = at.interpolate(at.start_time)
+        i2w_close = at.interpolate(at.end_time) if at.animated else None
         for rec in desc.objects.get(inst.name, []):
             all_shapes.append(
-                ShapeRecord(rec.type, rec.params, i2w * rec.object_to_world,
+                ShapeRecord(rec.type, rec.params,
+                            i2w_open * rec.object_to_world,
                             rec.material, rec.area_light, rec.reverse_orientation,
-                            rec.medium_interface, rec.filename))
+                            rec.medium_interface, rec.filename,
+                            object_to_world_end=(
+                                i2w_close * rec.object_to_world
+                                if i2w_close is not None else None)))
 
     from tpupt.textures.textures import TextureTable
 
@@ -727,6 +755,12 @@ def flatten(desc: SceneDescription, scene_dir: str = ".") -> FlatScene:
             F = F[:, [0, 2, 1]]
         Pw = t.apply_point(P)
         p0, p1, p2 = Pw[F[:, 0]], Pw[F[:, 1]], Pw[F[:, 2]]
+        if rec.object_to_world_end is not None:
+            Pe = rec.object_to_world_end.apply_point(P)
+            dp0_, dp1_, dp2_ = (Pe[F[:, 0]] - p0, Pe[F[:, 1]] - p1,
+                                Pe[F[:, 2]] - p2)
+        else:
+            dp0_ = dp1_ = dp2_ = np.zeros_like(p0)
         gn = np.cross(p1 - p0, p2 - p0)
         gl = np.linalg.norm(gn, axis=-1, keepdims=True)
         degenerate = gl[:, 0] < 1e-20
@@ -757,6 +791,7 @@ def flatten(desc: SceneDescription, scene_dir: str = ".") -> FlatScene:
             p0=p0[keep], p1=p1[keep], p2=p2[keep],
             n0=n0[keep], n1=n1[keep], n2=n2[keep],
             uv0=uv0[keep], uv1=uv1[keep], uv2=uv2[keep],
+            dp0=dp0_[keep], dp1=dp1_[keep], dp2=dp2_[keep],
             mat=np.full(n_tris, mid), light=lids[keep],
             med_in=np.full(n_tris, mi_in), med_out=np.full(n_tris, mi_out)))
         tri_count += n_tris
@@ -767,7 +802,8 @@ def flatten(desc: SceneDescription, scene_dir: str = ".") -> FlatScene:
             else np.float32)
             if tri_chunks else _empty_tri_field(k))
            for k in ("p0", "p1", "p2", "n0", "n1", "n2", "uv0", "uv1", "uv2",
-                     "mat", "light", "med_in", "med_out")})
+                     "mat", "light", "med_in", "med_out",
+                     "dp0", "dp1", "dp2")})
 
     # sphere area lights: prim ids come after triangles, so assign them now
     # that tri_count is final
@@ -1060,10 +1096,14 @@ def _camera_config(desc: SceneDescription, film: FilmConfig,
     else:
         cam_to_screen = Transform.perspective(fov, 1e-2, 1000.0)
     raster_to_camera = cam_to_screen.inverse() * screen_to_raster.inverse()
-    c2w = desc.camera_to_world.interpolate(desc.camera_to_world.start_time)
+    at = desc.camera_to_world
+    c2w = at.interpolate(at.start_time)
+    c2w_end = (at.interpolate(at.end_time).m.astype(np.float32)
+               if at.animated else None)
     return CameraConfig(
         type=ctype,
         cam_to_world=c2w.m.astype(np.float32),
+        cam_to_world_end=c2w_end,
         raster_to_camera=raster_to_camera.m.astype(np.float32),
         lens_radius=p.find_one_float("lensradius", 0.0),
         focal_distance=p.find_one_float("focaldistance", 1e6),
