@@ -111,6 +111,43 @@ def bench_killeroo():
     return fwd, fwd_bwd
 
 
+def bench_kdtree():
+    """Thesis-family accelerator throughput (the instrumentation the
+    reference exists to study, BASELINE.md): killeroo through the native
+    kd-tree build + unified projected-plane traversal, with the total
+    node-traversal / prim-test counters the thesis tables report
+    (killerroo-simple-times rows; counts scale linearly in spp)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpupt.scene.loader import parse_file
+    from tpupt.scene.flatten import flatten, with_resolution
+    from tpupt.integrators.path import Renderer
+    from tpupt.film.film import new_film
+
+    scene = with_resolution(
+        flatten(parse_file(SCENE), os.path.dirname(SCENE)), RES, RES)
+    scene.accelerator_name = "kdtree"
+    r = Renderer(scene)
+    film = new_film(RES, RES)
+    state = {"film": film}
+
+    def one_spp():
+        for k in range(r.n_batches):
+            sl = slice(k * r.batch, (k + 1) * r.batch)
+            state["film"] = r._step(state["film"], jnp.uint32(1),
+                                    r.px[sl], r.py[sl], r.valid[sl])
+        return state["film"].rgb
+
+    one_spp()  # compile
+    dt = _steady(one_spp, reps=2, inner=1)
+    aov = np.asarray(state["film"].aov)
+    spp_done = 3.0  # compile + 2 timed reps accumulated into the film
+    nodes = float(aov[:, 0].sum()) / spp_done
+    tests = float(aov[:, 2].sum()) / spp_done
+    return RES * RES / dt, nodes, tests
+
+
 def bench_museum():
     import jax
     import jax.numpy as jnp
@@ -149,6 +186,11 @@ def main():
     except Exception as e:  # bench must still report the headline number
         museum_rays, museum_tris = 0.0, 0
         print(f"museum bench failed: {e!r}", file=sys.stderr)
+    try:
+        kd_rays, kd_nodes, kd_tests = bench_kdtree()
+    except Exception as e:
+        kd_rays, kd_nodes, kd_tests = 0.0, 0.0, 0.0
+        print(f"kdtree bench failed: {e!r}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "killeroo_camera_rays_per_s_depth5",
@@ -159,6 +201,13 @@ def main():
         "museum1m_rays_per_s": round(museum_rays, 1),
         "museum1m_tris": museum_tris,
         "museum1m_frac": round(museum_rays / max(fwd, 1.0), 3),
+        # thesis-accelerator rung: kd-tree traversal on killeroo, with the
+        # per-spp counter totals the thesis tables record (BASELINE.md:
+        # kd 449.6M node traversals / 128.2M prim tests at 8 spp ->
+        # 56.2M / 16.0M per spp on the reference's tree)
+        "kdtree_rays_per_s": round(kd_rays, 1),
+        "kdtree_node_traversals_per_spp": round(kd_nodes, 1),
+        "kdtree_prim_tests_per_spp": round(kd_tests, 1),
     }))
 
 

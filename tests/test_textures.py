@@ -147,3 +147,101 @@ def test_mipmap_trilinear_selection(tmp_path):
     fine = np.array(eval_texture(tx, tid, uv, pw,
                                  width=jnp.full(n, 1e-6)))
     assert fine.std() > 0.2
+
+
+def test_ewa_anisotropic_beats_trilinear(tmp_path):
+    """EWA-style anisotropic taps average along the footprint's major axis
+    only (mipmap.h EWA): for a vertically-striped texture and a footprint
+    elongated along u, aniso lookups approach the stripe average while
+    trilinear at the (sharp) minor width still resolves the stripes."""
+    from tpupt.utils import imageio
+    from tpupt.textures.textures import TextureTable, eval_texture
+    from tpupt.scene.api import TextureDef
+    from tpupt.scene.params import ParamSet
+    from tpupt.core.transforms import Transform
+
+    stripes = (np.indices((64, 64))[1] // 4) % 2  # vertical stripes (u)
+    rgb = np.repeat(stripes[:, :, None], 3, -1).astype(np.float32)
+    p = tmp_path / "stripes.pfm"
+    imageio.write_pfm(str(p), rgb)
+    ps = ParamSet()
+    ps.add("string filename", [str(p)])
+    tbl = TextureTable()
+    tbl._add("t", TextureDef("tex", "spectrum", "imagemap", ps,
+                             Transform()), {}, str(tmp_path))
+    tx = {k: jnp.asarray(v) for k, v in tbl.arrays().items()}
+    n = 128
+    rng = np.random.default_rng(3)
+    uv = jnp.asarray(rng.uniform(0.2, 0.8, (n, 2)).astype(np.float32))
+    pw = jnp.zeros((n, 3))
+    tid = jnp.zeros(n, jnp.int32)
+    w_minor = jnp.full(n, 1.0 / 64.0)  # one-texel minor width (sharp)
+    major_u = jnp.tile(jnp.asarray([[0.25, 0.0]]), (n, 1))  # 16 texels in u
+    tri = np.array(eval_texture(tx, tid, uv, pw, width=w_minor))
+    ewa = np.array(eval_texture(tx, tid, uv, pw, width=w_minor,
+                                aniso=major_u))
+    # trilinear keeps hard stripes (values near 0/1); EWA averages them
+    assert np.abs(ewa - 0.5).mean() < np.abs(tri - 0.5).mean() * 0.6
+    # an elongation along v must NOT blur the u stripes
+    major_v = jnp.tile(jnp.asarray([[0.0, 0.25]]), (n, 1))
+    ewa_v = np.array(eval_texture(tx, tid, uv, pw, width=w_minor,
+                                  aniso=major_v))
+    np.testing.assert_allclose(ewa_v, tri, atol=0.02)
+
+
+def test_checkerboard_aa_closed_form():
+    """The closed-form box-filter checker (checkerboard.h:116 ClosedForm,
+    the pbrt aamode default): a footprint spanning full periods integrates
+    to the 0.5 blend; point sampling stays binary."""
+    from tpupt.textures.textures import TextureTable, eval_texture
+    from tpupt.scene.api import TextureDef
+    from tpupt.scene.params import ParamSet
+    from tpupt.core.transforms import Transform
+
+    ps = ParamSet()
+    ps.add("color tex1", [1.0, 1.0, 1.0])
+    ps.add("color tex2", [0.0, 0.0, 0.0])
+    tbl = TextureTable()
+    tbl._add("c", TextureDef("c", "spectrum", "checkerboard", ps,
+                             Transform()), {}, ".")
+    tx = {k: jnp.asarray(v) for k, v in tbl.arrays().items()}
+    n = 64
+    rng = np.random.default_rng(0)
+    # cell-interior points (>= 0.1 from any edge): a small footprint there
+    # must match the point sample exactly
+    uv = jnp.asarray(rng.integers(0, 8, (n, 2))
+                     + 0.1 + 0.8 * rng.random((n, 2)), dtype=jnp.float32)
+    tid = jnp.zeros(n, jnp.int32)
+    pw = jnp.zeros((n, 3))
+    # footprint = one full period (2 checker cells): integral is exactly 0.5
+    wide = np.array(eval_texture(tx, tid, uv, pw, width=jnp.full(n, 1.0)))
+    np.testing.assert_allclose(wide, 0.5, atol=1e-5)
+    # small footprint inside a cell: converges to the binary checker
+    sharp = np.array(eval_texture(tx, tid, uv, pw,
+                                  width=jnp.full(n, 1e-3)))
+    point = np.array(eval_texture(tx, tid, uv, pw))
+    np.testing.assert_allclose(sharp, point, atol=1e-2)
+
+
+def test_checkerboard_3d_solid():
+    """dimension=3 checker uses world-space parity independent of uv
+    (Checkerboard3DTexture, checkerboard.h:250)."""
+    from tpupt.textures.textures import TextureTable, eval_texture
+    from tpupt.scene.api import TextureDef
+    from tpupt.scene.params import ParamSet
+    from tpupt.core.transforms import Transform
+
+    ps = ParamSet()
+    ps.add("integer dimension", [3])
+    ps.add("color tex1", [1.0, 1.0, 1.0])
+    ps.add("color tex2", [0.0, 0.0, 0.0])
+    tbl = TextureTable()
+    tbl._add("c3", TextureDef("c3", "spectrum", "checkerboard", ps,
+                              Transform()), {}, ".")
+    tx = {k: jnp.asarray(v) for k, v in tbl.arrays().items()}
+    uv = jnp.zeros((4, 2))
+    tid = jnp.zeros(4, jnp.int32)
+    pw = jnp.asarray([[0.5, 0.5, 0.5], [1.5, 0.5, 0.5],
+                      [1.5, 1.5, 0.5], [0.5, 0.5, -0.5]], jnp.float32)
+    out = np.array(eval_texture(tx, tid, uv, pw))[:, 0]
+    np.testing.assert_allclose(out, [1.0, 0.0, 1.0, 0.0])

@@ -40,8 +40,8 @@ class TreeletArrays:
     """Device-ready two-level tables (all numpy, ready for device_put)."""
 
     top_tiles: np.ndarray   # (Ntop, 8, 8) f32 — VMEM-resident top tree
-    tl_nodes: np.ndarray    # (NT * TN, 64) f32 — per-treelet node blocks
-    tl_prims: np.ndarray    # (NT * TP, 32) f32 — per-treelet prim blocks
+    tl_nodes: np.ndarray    # (NT*TN, 128) f32 — node rows (64 data + pad)
+    tl_prims: np.ndarray    # (NT*TP/4, 128) f32 — prim blocks, 4 rows/row
     n_treelets: int
     tn: int
     tp: int
@@ -62,7 +62,9 @@ def _subtree_sizes(meta, is_int, leaf_count):
     one reverse sweep suffices."""
     nw = len(meta)
     sub_nodes = np.ones(nw, np.int64)
-    sub_prims = leaf_count.sum(1).astype(np.int64)
+    # leaf prim runs are padded to multiples of 4 in the packed block
+    # (static-lane prim reads); account for that here so `fits` is exact
+    sub_prims = ((leaf_count + 3) & ~3).sum(1).astype(np.int64)
     for i in range(nw - 1, -1, -1):
         for c in range(8):
             if is_int[i, c]:
@@ -184,6 +186,7 @@ def build_treelets(wide_nodes: np.ndarray, prim_rows: np.ndarray,
                     m[c] = local[int(meta[i, c])]
                 elif is_leaf[i, c]:
                     f, cnt = int(leaf_first[i, c]), int(leaf_count[i, c])
+                    pcur = (pcur + 3) & ~3  # 4-aligned leaf starts
                     tl_prims[tid, pcur: pcur + cnt] = prim_rows[f: f + cnt]
                     m[c] = -(pcur * 64 + cnt) - 1
                     pcur += cnt
@@ -191,15 +194,20 @@ def build_treelets(wide_nodes: np.ndarray, prim_rows: np.ndarray,
             tl_nodes[tid, li] = row
         assert pcur <= tp - 64
 
-    # treelet node rows -> the (8,8)-tile float encoding the kernel reads,
-    # flattened to (TN, 64) so the streamed block keeps a static lane index
+    # treelet node rows -> the (8,8)-tile float encoding the kernel
+    # reads, stored as 128-lane rows (64 data floats + 64 pad): Mosaic
+    # needs HBM DMA slices lane-aligned to 128 AND static lane offsets on
+    # scalar VMEM loads, so node ids (dynamic) index sublanes only. Prim
+    # rows pack 4 per 128-lane row — their lane offset comes from the
+    # STATIC leaf-loop index, valid because leaf starts are 4-aligned.
     from tpupt.scene.device import nodes_to_tiles
 
-    tl_tiles = np.zeros((nt * tn, 64), np.float32)
+    tl_tiles = np.zeros((nt * tn, 128), np.float32)
     for tid in range(nt):
-        tl_tiles[tid * tn: (tid + 1) * tn] = (
+        tl_tiles[tid * tn: (tid + 1) * tn, :64] = (
             nodes_to_tiles(tl_nodes[tid]).reshape(tn, 64))
 
-    return TreeletArrays(top_tiles=top_tiles, tl_nodes=tl_tiles,
-                         tl_prims=tl_prims.reshape(nt * tp, 32),
+    return TreeletArrays(top_tiles=top_tiles,
+                         tl_nodes=tl_tiles,
+                         tl_prims=tl_prims.reshape(nt * tp // 4, 128),
                          n_treelets=nt, tn=tn, tp=tp)

@@ -161,11 +161,59 @@ def trace_lenses_from_film(lens, zpos, o, d):
     return o, d, alive
 
 
+def bound_exit_pupil(lens, zpos, film_diag, n_bins: int = 64,
+                     n_side: int = 64):
+    """Per-film-radius exit-pupil bounding boxes on the rear element plane
+    (BoundExitPupil, realistic.cpp:231-256): for each of n_bins radial
+    segments, trace a grid of candidate rays from sample film points to a
+    1.5x-rear-radius square and bound the (x, y) of those that traverse
+    the whole stack. Returns (n_bins, 4) [x0, y0, x1, y1] in meters,
+    expanded by the grid spacing. Bins with no passing ray fall back to
+    the full rear square (degenerate off-corner radii)."""
+    rear_r = float(lens[-1, 3])
+    rear_z = float(zpos[-1])
+    r_max = film_diag / 2.0
+    half = 1.5 * rear_r
+    side = np.linspace(-half, half, n_side)
+    gx, gy = np.meshgrid(side, side, indexing="ij")
+    gx, gy = gx.ravel(), gy.ravel()
+    m = gx.size
+    out = np.zeros((n_bins, 4), np.float32)
+    spacing = 2.0 * half / (n_side - 1)
+    for b in range(n_bins):
+        # several film x positions inside the segment (pbrt samples the
+        # segment; 4 deterministic offsets cover it)
+        boxes = []
+        for fr in (0.125, 0.375, 0.625, 0.875):
+            fx = (b + fr) / n_bins * r_max
+            o = jnp.asarray(np.stack([np.full(m, fx), np.zeros(m),
+                                      np.zeros(m)], -1), jnp.float32)
+            pr = np.stack([gx, gy, np.full(m, rear_z)], -1)
+            d = jnp.asarray(pr, jnp.float32) - o
+            d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+            _, _, alive = trace_lenses_from_film(lens, zpos, o, d)
+            a = np.asarray(alive)
+            if a.any():
+                boxes.append((gx[a].min(), gy[a].min(),
+                              gx[a].max(), gy[a].max()))
+        if boxes:
+            bb = np.array(boxes)
+            out[b] = [bb[:, 0].min() - spacing, bb[:, 1].min() - spacing,
+                      bb[:, 2].max() + spacing, bb[:, 3].max() + spacing]
+        else:
+            out[b] = [-half, -half, half, half]
+    return out
+
+
 def realistic_rays(lens, zpos, cam_to_world, p_raster, u_lens,
-                   xres, yres, film_diag):
+                   xres, yres, film_diag, pupil=None):
     """Generate world-space rays through the lens stack. p_raster (N,2),
-    u_lens (N,2) samples the rear element's disk (exit-pupil bounds are a
-    noted refinement — vignetted lanes return alive=False)."""
+    u_lens (N,2). With `pupil` (the (B,4) boxes from bound_exit_pupil),
+    lens samples target the film point's exit-pupil box rotated to its
+    azimuth (SampleExitPupil, realistic.cpp:261-272) and the returned
+    weight is the box-to-disk area ratio, keeping the estimator's
+    rear-disk-uniform normalization; without it, samples cover the full
+    rear disk (weight 1) and vignetted lanes are masked."""
     n = p_raster.shape[0]
     aspect = xres / yres
     film_h = film_diag / np.sqrt(1.0 + aspect * aspect)
@@ -180,9 +228,28 @@ def realistic_rays(lens, zpos, cam_to_world, p_raster, u_lens,
 
     rear_r = float(lens[-1, 3])
     rear_z = float(zpos[-1])
-    lx, ly = concentric_sample_disk(u_lens[:, 0], u_lens[:, 1])
-    p_rear = jnp.stack([lx * rear_r, ly * rear_r,
-                        jnp.full(n, rear_z)], -1)
+    if pupil is not None:
+        n_bins = pupil.shape[0]
+        r_max = film_diag / 2.0
+        r_film = jnp.sqrt(fx * fx + fy * fy)
+        bin_ = jnp.clip((r_film / r_max * n_bins).astype(jnp.int32),
+                        0, n_bins - 1)
+        box = pupil[bin_]  # (N,4)
+        px_ = box[:, 0] + u_lens[:, 0] * (box[:, 2] - box[:, 0])
+        py_ = box[:, 1] + u_lens[:, 1] * (box[:, 3] - box[:, 1])
+        # rotate the canonical (+x film) pupil to the film point's azimuth
+        inv_r = 1.0 / jnp.maximum(r_film, 1e-12)
+        cs = jnp.where(r_film > 1e-9, fx * inv_r, 1.0)
+        sn = jnp.where(r_film > 1e-9, fy * inv_r, 0.0)
+        lx = cs * px_ - sn * py_
+        ly = sn * px_ + cs * py_
+        area = (box[:, 2] - box[:, 0]) * (box[:, 3] - box[:, 1])
+        weight = area / (np.pi * rear_r * rear_r)
+    else:
+        cx, cy = concentric_sample_disk(u_lens[:, 0], u_lens[:, 1])
+        lx, ly = cx * rear_r, cy * rear_r
+        weight = jnp.ones(n)
+    p_rear = jnp.stack([lx, ly, jnp.full(n, rear_z)], -1)
     d0 = p_rear - o_f
     d0 = d0 / jnp.sqrt(jnp.maximum(jnp.sum(d0 * d0, -1), 1e-20))[:, None]
     o_l, d_l, alive = trace_lenses_from_film(lens, zpos, o_f, d0)
@@ -193,4 +260,4 @@ def realistic_rays(lens, zpos, cam_to_world, p_raster, u_lens,
     o_w = o_c @ m[:3, :3].T + m[:3, 3]
     d_w = d_c @ m[:3, :3].T
     d_w = d_w / jnp.sqrt(jnp.maximum(jnp.sum(d_w * d_w, -1), 1e-20))[:, None]
-    return o_w, d_w, alive
+    return o_w, d_w, alive, weight

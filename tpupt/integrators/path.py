@@ -131,12 +131,27 @@ def _expand_bits9(v):
     return v
 
 
-def ray_sort_keys(o, d, tmax, world_lo, world_hi):
-    """Coherence keys: dead bit (tmax == 0) | direction octant (3 bits) |
-    origin Morton (27). Packet traversal efficiency is set by intra-packet
+def ray_sort_keys(o, d, tmax, world_lo, world_hi, spatial: bool = False):
+    """Coherence keys: dead bit (tmax == 0) | origin Morton (27 bits when
+    `spatial`). Packet traversal efficiency is set by intra-packet
     coherence, so secondary bounces are re-sorted every traversal (the
     wavefront analog of the reference's tile decomposition); terminated
-    lanes cluster into packets that exit on the root test."""
+    lanes cluster into packets that exit on the root test.
+
+    spatial=False (single-level VMEM kernel): the incoming PIXEL-TILE
+    order is already origin-coherent and reordering HURTS (measured — it
+    scatters tight origin clusters), so only the dead bit partitions.
+    spatial=True (two-level streamed kernel): secondary bounces cluster by
+    direction OCTANT, then origin Morton — packets become coherent ray
+    tubes. Origin clustering alone does NOT help there (measured: ~81
+    treelets/packet either way on the 1M museum): a packet with random
+    directions crosses treelet bounds along every ray's whole path, and
+    the front-to-back cull (skip treelets beyond the packet's worst
+    current hit) never fires because someone always flies far. Same-octant
+    tubes terminate at similar depths, so the cull prunes the tail."""
+    dead = (tmax <= 0.0).astype(jnp.uint32)
+    if not spatial:
+        return dead
     octant = ((d[:, 0] < 0).astype(jnp.uint32) * 4
               + (d[:, 1] < 0).astype(jnp.uint32) * 2
               + (d[:, 2] < 0).astype(jnp.uint32))
@@ -144,14 +159,7 @@ def ray_sort_keys(o, d, tmax, world_lo, world_hi):
     q = jnp.clip((o - world_lo) / ext * 511.0, 0.0, 511.0).astype(jnp.uint32)
     morton = (_expand_bits9(q[:, 0]) << jnp.uint32(2)) \
         | (_expand_bits9(q[:, 1]) << jnp.uint32(1)) | _expand_bits9(q[:, 2])
-    dead = (tmax <= 0.0).astype(jnp.uint32)
-    # NOTE (measured): for bounce rays the incoming PIXEL-TILE order is
-    # already origin-coherent and octant-major reordering HURTS (it
-    # scatters tight origin clusters). Sort by the dead bit only — a
-    # stable partition that clusters terminated lanes while preserving
-    # tile locality. Full keys retained above for experimentation.
-    del octant, morton
-    return dead
+    return (dead << jnp.uint32(31)) | (octant << jnp.uint32(28)) | morton
 
 
 def make_sorted_isect(isect, isect_p):
@@ -159,7 +167,9 @@ def make_sorted_isect(isect, isect_p):
 
     def isect_sorted(ds, st, o, d, tmax, **kw):
         n = o.shape[0]
-        perm = jnp.argsort(ray_sort_keys(o, d, tmax, ds.world_lo, ds.world_hi))
+        perm = jnp.argsort(ray_sort_keys(o, d, tmax, ds.world_lo,
+                                         ds.world_hi,
+                                         spatial=st.two_level))
         if kw.get("time") is not None:
             kw["time"] = kw["time"][perm]
         hit, stats = isect(ds, st, o[perm], d[perm], tmax[perm], **kw)
@@ -171,7 +181,9 @@ def make_sorted_isect(isect, isect_p):
 
     def isect_p_sorted(ds, st, o, d, tmax, **kw):
         n = o.shape[0]
-        perm = jnp.argsort(ray_sort_keys(o, d, tmax, ds.world_lo, ds.world_hi))
+        perm = jnp.argsort(ray_sort_keys(o, d, tmax, ds.world_lo,
+                                         ds.world_hi,
+                                         spatial=st.two_level))
         if kw.get("time") is not None:
             kw["time"] = kw["time"][perm]
         occ, stats = isect_p(ds, st, o[perm], d[perm], tmax[perm], **kw)
@@ -378,6 +390,7 @@ def path_li(ds: DeviceScene, st: SceneStatics, sampler: WavefrontSampler,
         # stand-in for RayDifferential::ScaleDifferentials): pixel cone
         # angle x hit distance x the hit triangle's uv density
         tex_width = None
+        tex_aniso = None
         if st.has_textures:
             pix_cone = jnp.linalg.norm(ds.raster_to_camera[:3, 1])
             prim0 = jnp.maximum(hit.prim, 0)
@@ -394,11 +407,43 @@ def path_li(ds: DeviceScene, st: SceneStatics, sampler: WavefrontSampler,
             t_hit = jnp.where(hit.valid, hit.t, 1.0)
             tex_width = pix_cone * t_hit * dens
 
+            # anisotropic footprint (mipmap.h EWA via ray cones): the pixel
+            # cone hits the surface in an ellipse with minor diameter
+            # cone*t and major diameter cone*t/|cos|; project the major
+            # axis (the in-plane component of the view direction) onto the
+            # triangle's uv parametrization. Eccentricity clamped to the
+            # reference's MaxAnisotropy=8 (mipmap.h:180).
+            cos_i = jnp.abs(dot(d, sp.ns))
+            h = d - dot(d, sp.ns)[..., None] * sp.ns
+            h_len = jnp.linalg.norm(h, axis=-1)
+            h_unit = h / jnp.maximum(h_len, 1e-12)[..., None]
+            major_w = pix_cone * t_hit / jnp.maximum(cos_i, 1.0 / 8.0)
+            a = h_unit * major_w[..., None]
+            # dpdu/dpdv from the uv deltas (triangle.cpp:87)
+            det_uv = du1[..., 0] * du2[..., 1] - du1[..., 1] * du2[..., 0]
+            inv_det = jnp.where(jnp.abs(det_uv) > 1e-12, 1.0 / det_uv, 0.0)
+            dpdu = (du2[..., 1:2] * e1 - du1[..., 1:2] * e2) * inv_det[..., None]
+            dpdv = (-du2[..., 0:1] * e1 + du1[..., 0:1] * e2) * inv_det[..., None]
+            g11 = dot(dpdu, dpdu)
+            g12 = dot(dpdu, dpdv)
+            g22 = dot(dpdv, dpdv)
+            det_g = g11 * g22 - g12 * g12
+            b1_ = dot(a, dpdu)
+            b2_ = dot(a, dpdv)
+            ok_g = (jnp.abs(det_g) > 1e-18) & (prim0 < st.n_tris) \
+                & (h_len > 1e-9)
+            inv_g = jnp.where(ok_g, 1.0 / jnp.where(ok_g, det_g, 1.0), 0.0)
+            du_ = (g22 * b1_ - g12 * b2_) * inv_g
+            dv_ = (g11 * b2_ - g12 * b1_) * inv_g
+            tex_aniso = jnp.where(ok_g[..., None],
+                                  jnp.stack([du_, dv_], -1), 0.0)
+
         mp = bx.gather_mat_params(ds, sp.mat, uv=sp.uv, p=sp.p,
                                   has_textures=st.has_textures,
                                   has_mix="mix" in st.mat_features,
                                   fourier_meta=st.fourier,
-                                  tex_width=tex_width)
+                                  tex_width=tex_width,
+                                  tex_aniso=tex_aniso)
         t_f, b_f, n_f = bx.make_frame(sp.ns)
         wo_l = bx.to_local(t_f, b_f, n_f, wo)
 
@@ -636,6 +681,16 @@ class Renderer:
         # media now live in the DeviceScene tables (per-interface,
         # media/media.py MediaTable); keep a MediumParams handle for tools
         # that inspect the (legacy) global-medium configuration
+        # exit-pupil bounds for the realistic camera (BoundExitPupil,
+        # realistic.cpp:231 — rear-element sampling wastes most lanes to
+        # vignetting without them)
+        self._pupil = None
+        if cam.lens_data is not None:
+            from tpupt.cameras.realistic import bound_exit_pupil
+
+            self._pupil = jnp.asarray(bound_exit_pupil(
+                cam.lens_data, cam.lens_z, cam.film_diag))
+
         self._medium = None
         if scene.media:
             from tpupt.media.media import build_medium
@@ -662,9 +717,10 @@ class Renderer:
                 # vignetted lanes contribute black
                 from tpupt.cameras.realistic import realistic_rays
 
-                o, d, cam_alive = realistic_rays(
+                o, d, cam_alive, cam_w = realistic_rays(
                     cam.lens_data, cam.lens_z, ds.cam_to_world, p_raster,
-                    jnp.stack([ul1, ul2], -1), xres, yres, cam.film_diag)
+                    jnp.stack([ul1, ul2], -1), xres, yres, cam.film_diag,
+                    pupil=self._pupil)
             else:
                 o, d = generate_rays(cam.type, ds.raster_to_camera,
                                      ds.cam_to_world, p_raster,
@@ -677,6 +733,7 @@ class Renderer:
                                              else None),
                                      time=time)
                 cam_alive = None
+                cam_w = None
             name = scene.integrator.name
             if name == "volpath" and st.n_media > 0:
                 from tpupt.integrators.volpath import volpath_li
@@ -723,6 +780,9 @@ class Renderer:
             L = jnp.where(bad[..., None], 0.0, L)
             if cam_alive is not None:
                 L = jnp.where(cam_alive[..., None], L, 0.0)
+                if cam_w is not None:
+                    # exit-pupil box measure -> rear-disk normalization
+                    L = L * cam_w[..., None]
             if np.isfinite(self.cfg.max_sample_luminance):
                 from tpupt.core.spectrum import luminance
 
@@ -734,6 +794,10 @@ class Renderer:
             return filmmod.add_samples(film, self.cfg, p_raster, L, aov,
                                        mask=valid_b)
 
+        # raw (unjitted) step — ShardedRenderer re-jits the SAME step with
+        # mesh shardings, so the sharded path carries the full single-chip
+        # feature matrix (all integrators, bdpt splats, crop, clamping)
+        self._step_py = step
         self._step_fn = jax.jit(step, donate_argnums=(1,))
 
     def _step(self, film, sample_idx, px_b, py_b, valid_b):
@@ -741,9 +805,14 @@ class Renderer:
 
     def render(self, spp: int = None, film=None, verbose: bool = False):
         spp = spp or self.scene.sampler.spp
-        film = film if film is not None else filmmod.new_film(
-            self.cfg.xres, self.cfg.yres)
-        self._spp_rendered = getattr(self, "_spp_rendered", 0) + spp
+        # splat normalization tracks samples accumulated into THIS film: a
+        # fresh render resets the count, a passed-in film continues it
+        # (repeat renders previously inflated the divisor -> splats shrank)
+        if film is None:
+            self._spp_rendered = spp
+            film = filmmod.new_film(self.cfg.xres, self.cfg.yres)
+        else:
+            self._spp_rendered = getattr(self, "_spp_rendered", 0) + spp
         b = self.batch
         import time as _time
 
@@ -803,6 +872,7 @@ class Renderer:
                 self.save_checkpoint(film, checkpoint, s + 1)
             if verbose:
                 print(f"  sample {s + 1}/{spp}", flush=True)
+        self._spp_rendered = spp  # total samples accumulated in this film
         return film
 
     def image(self, film):

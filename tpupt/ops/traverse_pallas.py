@@ -40,8 +40,10 @@ def traverse_loop(node_at, prim_at, rays, t_ref, gid_ref, b1_ref, b2_ref,
     """The packet traversal while-loop, shared by the single-level kernel
     and the two-level streamed kernel (ops/traverse_stream.py).
 
-    node_at(node, child, col) / prim_at(idx, col) are scalar accessors into
-    whatever node/prim block layout the caller streams in; t/gid/b1/b2 refs
+    node_at(node, child, col) / prim_at(first, k, col) are scalar
+    accessors into whatever node/prim block layout the caller streams in
+    (k is the STATIC leaf-loop index so packed layouts can derive static
+    lane offsets from it); t/gid/b1/b2 refs
     carry current-best hits ACROSS calls (the streamed kernel accumulates
     over several treelets into the same output tiles). stack_ref[0] must
     hold the local root id; sp_init=0 skips the walk (dead grid step).
@@ -110,10 +112,8 @@ def traverse_loop(node_at, prim_at, rays, t_ref, gid_ref, b1_ref, b2_ref,
             first = v >> 6
             cnt = v & 63
             for k in range(max_leaf):
-                idx = first + k
-
-                def ps(col):
-                    return prim_at(idx, col)
+                def ps(col, k=k):
+                    return prim_at(first, k, col)
 
                 t_cur = t_ref[0]
                 p_gid = ps(18).astype(jnp.int32)
@@ -258,7 +258,7 @@ def _kernel(nodes_ref, prims_ref,
             kx, ky, kz, sx, sy, sz, o_kx, o_ky, o_kz)
     n_nodes, n_leaves, n_tests = traverse_loop(
         lambda n, c, col: nodes_ref[n, c, col],
-        lambda i, col: prims_ref[i, col],
+        lambda first, k, col: prims_ref[first + k, col],
         rays, t_ref, gid_ref, b1_ref, b2_ref, stack_ref,
         max_leaf=max_leaf, any_hit=any_hit, has_spheres=has_spheres,
         with_stats=with_stats)

@@ -12,16 +12,18 @@ in two phases:
   treelet lists (capacity TREELET_LIST_MAX; overflow is COUNTED, never
   silent — the farthest treelets are dropped after the front-to-back sort).
 
-  phase 2 (grid = packets x list slots): each grid step traverses one
-  (packet, treelet) pair. The treelet's node/prim blocks are streamed
-  HBM->VMEM by scalar-prefetch BlockSpec index maps
-  (pltpu.PrefetchScalarGridSpec) — Pallas double-buffers consecutive grid
-  steps, so each DMA rides under the previous pair's traversal compute.
-  Hit state (t/gid/b1/b2) accumulates in the packet's output tiles, which
-  stay VMEM-resident across the inner grid dimension. Pairs are processed
-  front-to-back, and a pair is skipped entirely (zero loop trips) when its
-  entry distance exceeds every live ray's current-best t, or (any-hit) when
-  every lane already hit.
+  phase 2 (grid = packets): each grid step owns ONE packet and loops over
+  its front-to-back-sorted treelet list, double-buffering each treelet's
+  node/prim blocks HBM->VMEM with explicit async DMA (the j+1 copy is
+  issued before the j walk, so DMA rides under traversal compute). Hit
+  state (t/gid/b1/b2) lives in the packet's VMEM output tiles for the
+  whole step. A treelet is skipped (zero traversal trips — its DMA still
+  lands but costs ~1us) when its entry distance exceeds every live ray's
+  current-best t, or (any-hit) when every lane already hit. Per-packet
+  work is therefore proportional to the packet's ACTUAL treelet count —
+  the earlier design gridded over static (packet, pair-slot) products and
+  paid a fixed step cost for every unused slot, which dominated wall-clock
+  at large packet counts.
 """
 
 from __future__ import annotations
@@ -34,11 +36,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpupt.accel.treelets import TREELET_LIST_MAX
-from tpupt.ops.traverse_pallas import PACK, STACK, traverse_loop
+from tpupt.ops.traverse_pallas import STACK, traverse_loop
 
 _BIG = 3.0e38
-PAIR_GUARANTEED = 8   # per-packet pair slots always available
-PAIR_BUDGET = 24      # average pair slots per packet (static grid cap)
+# streamed packets are 1024 rays like the single-level kernel (measured:
+# 256-ray packets LOSE ~2.5x on incoherent bounces — per-treelet node
+# unions shrink sublinearly in packet size, so 4x more treelet walks with
+# their fixed DMA-issue/loop costs dominate)
+ROWS = 8
+PACK = ROWS * 128
 
 
 # --------------------------- phase 1: binning ------------------------------
@@ -130,7 +136,7 @@ def _kernel_top(nodes_ref,
 def _bin_packets(top_tiles, ox, oy, oz, ix, iy, iz, tmax,
                  list_max: int = TREELET_LIST_MAX, interpret: bool = False):
     npk = ox.shape[0]
-    ray_spec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+    ray_spec = pl.BlockSpec((1, ROWS, 128), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     # singleton middle axis keeps Mosaic's last-two-dims block rule happy
@@ -161,39 +167,54 @@ def _bin_packets(top_tiles, ox, oy, oz, ix, iy, iz, tmax,
 # ------------------------ phase 2: streamed pairs ---------------------------
 
 
-def _kernel_treelet(tids_ref, pk_ref, first_ref, tnear_ref,
-                    nodes_ref, prims_ref,
-                    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                    ix_ref, iy_ref, iz_ref,
-                    kx_ref, ky_ref, kz_ref, sx_ref, sy_ref, sz_ref,
-                    tmax_ref,
-                    t_ref, gid_ref, b1_ref, b2_ref, visits_ref, leaves_ref,
-                    tests_ref,
-                    stack_ref,
-                    *, max_leaf: int, any_hit: bool, has_spheres: bool,
-                    with_stats: bool):
-    """One COMPACTED (packet, treelet) pair per grid step. Pairs are
-    packet-major, so the packet's output tiles stay VMEM-resident across
-    its run of pairs; `first` marks the first pair of each packet (init).
-    Every packet has >= 1 pair (cnt==0 packets get a dummy with
-    tnear=_BIG, which initializes the outputs and skips the walk)."""
-    i = pl.program_id(0)
+def _kernel_packet(tids_ref, tnear_ref, cnt_ref,
+                   nodes_hbm, prims_hbm,
+                   ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                   ix_ref, iy_ref, iz_ref,
+                   kx_ref, ky_ref, kz_ref, sx_ref, sy_ref, sz_ref,
+                   tmax_ref,
+                   t_ref, gid_ref, b1_ref, b2_ref, visits_ref, leaves_ref,
+                   tests_ref,
+                   nodes_buf, prims_buf, sem_n, sem_p, stack_ref,
+                   *, tn: int, tp: int, max_leaf: int, any_hit: bool,
+                   has_spheres: bool, with_stats: bool):
+    """One PACKET per grid step; the packet's (sorted, front-to-back)
+    treelet list is walked by an inner loop that double-buffers each
+    treelet's node/prim blocks HBM->VMEM with explicit async DMA: the next
+    treelet's copy is issued before the current one's walk, so the DMA
+    rides under traversal compute. No dummy grid steps — per-packet work is
+    exactly proportional to its treelet count (the previous pair-grid
+    design paid a fixed step cost for every unused static pair slot, which
+    dominated wall-clock at ~24x the mean pair count)."""
+    cnt = cnt_ref[0, 0, 0]
 
-    @pl.when(first_ref[i] == 1)
+    t_ref[0] = tmax_ref[0]
+    gid_ref[0] = jnp.full((ROWS, 128), -1, jnp.int32)
+    b1_ref[0] = jnp.zeros((ROWS, 128), jnp.float32)
+    b2_ref[0] = jnp.zeros((ROWS, 128), jnp.float32)
+    visits_ref[0] = jnp.zeros((ROWS, 128), jnp.int32)
+    leaves_ref[0] = jnp.zeros((ROWS, 128), jnp.int32)
+    tests_ref[0] = jnp.zeros((ROWS, 128), jnp.int32)
+
+    def copies(j, slot):
+        # blocks are 128-lane rows (nodes: 64 data floats + 64 pad;
+        # prims: 4 rows packed with leaf starts 4-aligned) — Mosaic DMA
+        # slices must be lane-aligned to 128, and scalar VMEM loads need
+        # static lane offsets
+        tid = tids_ref[0, 0, j]
+        return (
+            pltpu.make_async_copy(
+                nodes_hbm.at[pl.ds(tid * tn, tn)],
+                nodes_buf.at[slot], sem_n.at[slot]),
+            pltpu.make_async_copy(
+                prims_hbm.at[pl.ds(tid * (tp // 4), tp // 4)],
+                prims_buf.at[slot], sem_p.at[slot]),
+        )
+
+    @pl.when(cnt > 0)
     def _():
-        t_ref[0] = tmax_ref[0]
-        gid_ref[0] = jnp.full((8, 128), -1, jnp.int32)
-        b1_ref[0] = jnp.zeros((8, 128), jnp.float32)
-        b2_ref[0] = jnp.zeros((8, 128), jnp.float32)
-        visits_ref[0] = jnp.zeros((8, 128), jnp.int32)
-        leaves_ref[0] = jnp.zeros((8, 128), jnp.int32)
-        tests_ref[0] = jnp.zeros((8, 128), jnp.int32)
-
-    # front-to-back cull: skip the pair when its entry distance is beyond
-    # every lane's current best (or when every lane already hit, any-hit)
-    run = tnear_ref[i] < jnp.max(t_ref[0])
-    if any_hit:
-        run = run & ~jnp.all(gid_ref[0] >= 0)
+        for c in copies(0, 0):
+            c.start()
 
     ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
     dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
@@ -206,47 +227,59 @@ def _kernel_treelet(tids_ref, pk_ref, first_ref, tnear_ref,
     rays = (ox, oy, oz, dx, dy, dz, ix, iy, iz,
             kx, ky, kz, sx, sy, sz, o_kx, o_ky, o_kz)
 
-    stack_ref[0] = 0  # treelet-local root
-    n_nodes, n_leaves, n_tests = traverse_loop(
-        lambda n, c, col: nodes_ref[n, c * 8 + col],
-        lambda p, col: prims_ref[p, col],
-        rays, t_ref, gid_ref, b1_ref, b2_ref, stack_ref,
-        max_leaf=max_leaf, any_hit=any_hit, has_spheres=has_spheres,
-        with_stats=with_stats, sp_init=jnp.where(run, 1, 0))
-    if with_stats:
-        visits_ref[0] = visits_ref[0] + n_nodes
-        leaves_ref[0] = leaves_ref[0] + n_leaves
-        tests_ref[0] = tests_ref[0] + n_tests
+    def body(j, carry):
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < cnt)
+        def _():
+            for c in copies(j + 1, 1 - slot):
+                c.start()
+
+        for c in copies(j, slot):
+            c.wait()
+
+        # front-to-back cull: skip the walk when this treelet's entry
+        # distance is beyond every lane's current best (or every lane hit)
+        run = tnear_ref[0, 0, j] < jnp.max(t_ref[0])
+        if any_hit:
+            run = run & ~jnp.all(gid_ref[0] >= 0)
+        stack_ref[0] = 0
+        n_nodes, n_leaves, n_tests = traverse_loop(
+            lambda n, c, col: nodes_buf[slot, n, c * 8 + col],
+            lambda first, k, col:
+                prims_buf[slot, (first >> 2) + (k >> 2),
+                          ((k & 3) << 5) + col],
+            rays, t_ref, gid_ref, b1_ref, b2_ref, stack_ref,
+            max_leaf=max_leaf, any_hit=any_hit, has_spheres=has_spheres,
+            with_stats=with_stats, sp_init=jnp.where(run, 1, 0))
+        if with_stats:
+            visits_ref[0] = visits_ref[0] + n_nodes
+            leaves_ref[0] = leaves_ref[0] + n_leaves
+            tests_ref[0] = tests_ref[0] + n_tests
+        return carry
+
+    jax.lax.fori_loop(0, cnt, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "tn", "tp", "max_leaf", "any_hit", "has_spheres", "interpret",
-    "with_stats"))
-def _traverse_pairs(pair_tid, pair_pk, pair_first, pair_tnear,
-                    tl_nodes, tl_prims,
-                    ox, oy, oz, dx, dy, dz, ix, iy, iz,
-                    kx, ky, kz, sx, sy, sz, tmax,
-                    tn: int, tp: int, max_leaf: int, any_hit: bool,
-                    has_spheres: bool, interpret: bool = False,
-                    with_stats: bool = False):
-    """Grid over COMPACTED packet-major (packet, treelet) pairs: the node/
-    prim blocks stream by pair_tid (scalar-prefetch index maps), ray and
-    output tiles by pair_pk. Consecutive pairs of one packet keep its
-    output tiles VMEM-resident (same block index -> no copies)."""
-    npairs = pair_tid.shape[0]
+    "with_stats", "list_max"))
+def _traverse_packets(tids, tnear, cnt,
+                      tl_nodes, tl_prims,
+                      ox, oy, oz, dx, dy, dz, ix, iy, iz,
+                      kx, ky, kz, sx, sy, sz, tmax,
+                      tn: int, tp: int, max_leaf: int, any_hit: bool,
+                      has_spheres: bool, list_max: int,
+                      interpret: bool = False, with_stats: bool = False):
     npk = ox.shape[0]
-    shp = (npk, 8, 128)
-
-    def by_pk(i, tid_r, pk_r, first_r, tnear_r):
-        return (pk_r[i], 0, 0)
-
-    ray_spec = pl.BlockSpec((1, 8, 128), by_pk, memory_space=pltpu.VMEM)
-    node_spec = pl.BlockSpec(
-        (tn, 64), lambda i, tid_r, pk_r, first_r, tnear_r: (tid_r[i], 0),
-        memory_space=pltpu.VMEM)
-    prim_spec = pl.BlockSpec(
-        (tp, 32), lambda i, tid_r, pk_r, first_r, tnear_r: (tid_r[i], 0),
-        memory_space=pltpu.VMEM)
+    shp = (npk, ROWS, 128)
+    ray_spec = pl.BlockSpec((1, ROWS, 128), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    list_spec = pl.BlockSpec((1, 1, list_max), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM)
+    one_spec = pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                            memory_space=pltpu.SMEM)
+    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
     out_shapes = [
         jax.ShapeDtypeStruct(shp, jnp.float32),  # t
         jax.ShapeDtypeStruct(shp, jnp.int32),    # gid
@@ -256,22 +289,25 @@ def _traverse_pairs(pair_tid, pair_pk, pair_first, pair_tnear,
         jax.ShapeDtypeStruct(shp, jnp.int32),    # leaf visits
         jax.ShapeDtypeStruct(shp, jnp.int32),    # prim tests
     ]
-    kern = functools.partial(_kernel_treelet, max_leaf=max_leaf,
-                             any_hit=any_hit, has_spheres=has_spheres,
-                             with_stats=with_stats)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(npairs,),
-        in_specs=[node_spec, prim_spec] + [ray_spec] * 16,
-        out_specs=[ray_spec] * 7,
-        scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32)],
-    )
+    kern = functools.partial(_kernel_packet, tn=tn, tp=tp,
+                             max_leaf=max_leaf, any_hit=any_hit,
+                             has_spheres=has_spheres, with_stats=with_stats)
     return pl.pallas_call(
         kern,
-        grid_spec=grid_spec,
+        grid=(npk,),
+        in_specs=[list_spec, list_spec, one_spec, hbm, hbm]
+        + [ray_spec] * 16,
+        out_specs=[ray_spec] * 7,
         out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((2, tn, 128), jnp.float32),
+            pltpu.VMEM((2, tp // 4, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((STACK,), jnp.int32),
+        ],
         interpret=interpret,
-    )(pair_tid, pair_pk, pair_first, pair_tnear, tl_nodes, tl_prims,
+    )(tids, tnear, cnt, tl_nodes, tl_prims,
       ox, oy, oz, dx, dy, dz, ix, iy, iz, kx, ky, kz, sx, sy, sz, tmax)
 
 
@@ -304,7 +340,7 @@ def intersect_packets_streamed(ds, st, o, d, tmax, any_hit=False,
     inv_d = ray_inv_d(d)
 
     def pk(x, dtype=jnp.float32):
-        return x.astype(dtype).reshape(npk, 8, 128)
+        return x.astype(dtype).reshape(npk, ROWS, 128)
 
     pox, poy, poz = pk(o[:, 0]), pk(o[:, 1]), pk(o[:, 2])
     pix, piy, piz = pk(inv_d[:, 0]), pk(inv_d[:, 1]), pk(inv_d[:, 2])
@@ -323,44 +359,9 @@ def intersect_packets_streamed(ds, st, o, d, tmax, any_hit=False,
     tids_s = jnp.where(valid, jnp.clip(tids_s, 0, st.n_treelets - 1), 0)
     tnear_s = jnp.where(valid, tnear_s, _BIG)
 
-    # ---- compact to packet-major pairs (grid steps ~= actual pairs) ----
-    # Every packet gets >= 1 slot (a dummy pair initializes its outputs).
-    # Budget: a guaranteed quota per packet, plus first-come-first-served
-    # overflow up to the static cap; dropped pairs are the packet's
-    # FARTHEST treelets (lists are sorted front-to-back) and are COUNTED.
-    guaranteed = min(PAIR_GUARANTEED, list_max)
-    cap = npk * min(PAIR_BUDGET, list_max)
-    cnt_eff = jnp.maximum(jnp.minimum(cnt, list_max), 1)
-    over = jnp.maximum(cnt_eff - guaranteed, 0)
-    over_base = jnp.cumsum(over) - over
-    room = jnp.maximum(cap - npk * guaranteed - over_base, 0)
-    take = jnp.minimum(cnt_eff, guaranteed + jnp.minimum(over, room))
-    base = jnp.cumsum(take) - take  # exclusive prefix: packet's first slot
-    trunc_pairs = cnt - take  # (>0 only when cnt > take)
-
-    # scatter pairs into (cap,) arrays
-    flat_pos = base[:, None] + slot  # target pair index for (pk, j)
-    in_take = slot < take[:, None]
-    pos = jnp.where(in_take, flat_pos, cap)  # cap = dropped (OOB)
-    pair_tid = jnp.zeros(cap + 1, jnp.int32).at[pos.reshape(-1)].set(
-        tids_s.reshape(-1), mode="drop")[:cap]
-    pair_tnear = jnp.full(cap + 1, _BIG, jnp.float32).at[
-        pos.reshape(-1)].set(tnear_s.reshape(-1), mode="drop")[:cap]
-    pks = jnp.broadcast_to(jnp.arange(npk, dtype=jnp.int32)[:, None],
-                           (npk, list_max))
-    pair_pk = jnp.full(cap + 1, npk - 1, jnp.int32).at[
-        pos.reshape(-1)].set(pks.reshape(-1), mode="drop")[:cap]
-    # tail slots (beyond total pairs) belong to the last packet as extra
-    # dummy pairs; monotone pk order is preserved
-    total = base[-1] + take[-1]
-    tail = jnp.arange(cap) >= total
-    pair_tnear = jnp.where(tail, _BIG, pair_tnear)
-    pair_first = jnp.concatenate([
-        jnp.ones(1, jnp.int32),
-        (pair_pk[1:] != pair_pk[:-1]).astype(jnp.int32)])
-
-    t, gid, b1, b2, visits, leaves, tests = _traverse_pairs(
-        pair_tid, pair_pk, pair_first, pair_tnear,
+    t, gid, b1, b2, visits, leaves, tests = _traverse_packets(
+        tids_s[:, None, :], tnear_s[:, None, :],
+        jnp.minimum(cnt, list_max)[:, None, None],
         ds.tl_nodes, ds.tl_prims,
         pox, poy, poz,
         pk(d[:, 0]), pk(d[:, 1]), pk(d[:, 2]),
@@ -368,8 +369,8 @@ def intersect_packets_streamed(ds, st, o, d, tmax, any_hit=False,
         pk(kx, jnp.int32), pk(ky, jnp.int32), pk(kz, jnp.int32),
         pk(sx), pk(sy), pk(sz), ptm,
         tn=st.tl_tn, tp=st.tl_tp, max_leaf=st.max_leaf, any_hit=any_hit,
-        has_spheres=st.n_spheres > 0, interpret=interpret,
-        with_stats=with_stats)
+        has_spheres=st.n_spheres > 0, list_max=list_max,
+        interpret=interpret, with_stats=with_stats)
 
     t = t.reshape(-1)[:n]
     gid = gid.reshape(-1)[:n]
@@ -378,9 +379,9 @@ def intersect_packets_streamed(ds, st, o, d, tmax, any_hit=False,
     visits = visits.reshape(-1)[:n]
     leaves = leaves.reshape(-1)[:n]
     tests = tests.reshape(-1)[:n]
-    # truncation = phase-1 list overflow + pairs dropped by the compaction
-    # budget (both farthest-first; nonzero means a possible missed hit)
-    trunc = jnp.repeat(ovf + jnp.maximum(trunc_pairs, 0), PACK)[:n]
+    # truncation = phase-1 list overflow (farthest-first after the sort);
+    # nonzero means a possible missed hit and is surfaced, never silent
+    trunc = jnp.repeat(ovf, PACK)[:n]
 
     if st.n_spheres > 0:
         sid = jnp.clip(gid - st.n_tris, 0, max(st.n_spheres - 1, 0))

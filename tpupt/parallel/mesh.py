@@ -26,8 +26,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from tpupt.cameras.perspective import generate_rays
 from tpupt.film import film as filmmod
 from tpupt.integrators.path import path_li, pick_traversal
-from tpupt.samplers.samplers import WavefrontSampler
-from tpupt.scene.device import upload
 
 
 def make_mesh(devices=None, axis: str = "rays") -> Mesh:
@@ -35,80 +33,109 @@ def make_mesh(devices=None, axis: str = "rays") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def init_distributed(coordinator: str = None, num_processes: int = None,
+                     process_id: int = None):
+    """Multi-host wiring (the reference's ssh farm, run_distributed.sh,
+    becomes one jax.distributed job): call BEFORE any other jax use on every
+    host; afterwards jax.devices() spans the pod slice and the same
+    make_mesh()/ShardedRenderer code scales across hosts over ICI/DCN.
+    No-args form reads the cluster env (TPU pod metadata / SLURM)."""
+    import jax as _jax
+
+    if coordinator is None and num_processes is None:
+        _jax.distributed.initialize()
+    else:
+        _jax.distributed.initialize(coordinator_address=coordinator,
+                                    num_processes=num_processes,
+                                    process_id=process_id)
+    return _jax.process_index(), _jax.process_count()
+
+
 class ShardedRenderer:
     """Data-parallel renderer: rays sharded over the mesh, scene replicated,
-    per-device films psum-reduced at the end of each sample step."""
+    per-device films reduced by the XLA-inserted collectives.
 
-    def __init__(self, scene, mesh: Optional[Mesh] = None):
+    This re-jits the base Renderer's OWN step with mesh shardings, so it
+    carries the full single-chip feature matrix — every integrator
+    (including bdpt's t==1 light-path splats), crop windows, sample
+    clamping, AOVs — not a reduced path-only pipeline."""
+
+    def __init__(self, scene, mesh: Optional[Mesh] = None,
+                 light_strategy: str = None, base=None):
         from tpupt.integrators.path import Renderer
 
         self.mesh = mesh if mesh is not None else make_mesh()
         self.axis = self.mesh.axis_names[0]
-        self.base = Renderer(scene)
+        self.base = base if base is not None else Renderer(
+            scene, light_strategy=light_strategy)
         self.cfg = self.base.cfg
+        self.st = self.base.st
         n_dev = self.mesh.size
+        assert self.base.batch % n_dev == 0, \
+            f"wavefront batch {self.base.batch} not divisible by mesh size {n_dev}"
 
-        # pad the pixel list so it divides evenly across devices
-        npix = int(self.base.px.shape[0])
-        per = -(-npix // n_dev)
-        pad = per * n_dev - npix
-        px = jnp.concatenate([self.base.px, jnp.zeros(pad, jnp.int32)])
-        py = jnp.concatenate([self.base.py, jnp.zeros(pad, jnp.int32)])
-        valid = jnp.concatenate([self.base.valid[:npix],
-                                 jnp.zeros(pad, bool)])
         shard = NamedSharding(self.mesh, P(self.axis))
-        self.px = jax.device_put(px, shard)
-        self.py = jax.device_put(py, shard)
-        self.valid = jax.device_put(valid, shard)
-
-        ds, st = self.base.ds, self.base.st
         repl = NamedSharding(self.mesh, P())
-        self.ds = jax.tree.map(lambda a: jax.device_put(a, repl), ds)
-        self.st = st
-        scene_cfg = self.base.scene
-        sampler = self.base.sampler
-        cam = scene_cfg.camera
-        cfg = self.cfg
-        isect, isect_p = pick_traversal(st)
-
-        @partial(jax.jit, out_shardings=repl, donate_argnums=(0,))
-        def step(film, sample_idx, px_b, py_b, valid_b):
-            jx, jy = sampler.camera_jitter(px_b, py_b, sample_idx)
-            p_raster = jnp.stack([px_b.astype(jnp.float32) + jx,
-                                  py_b.astype(jnp.float32) + jy], -1)
-            ul1 = sampler.dim(px_b, py_b, sample_idx, 2)
-            ul2 = sampler.dim(px_b, py_b, sample_idx, 3)
-            o, d = generate_rays(cam.type, self.ds.raster_to_camera,
-                                 self.ds.cam_to_world, p_raster,
-                                 jnp.stack([ul1, ul2], -1),
-                                 cam.lens_radius, cam.focal_distance,
-                                 cfg.xres, cfg.yres)
-            L, aov = path_li(self.ds, st, sampler,
-                             scene_cfg.integrator.max_depth,
-                             scene_cfg.integrator.rr_threshold,
-                             px_b, py_b, sample_idx, o, d,
-                             isect=isect, isect_p=isect_p)
-            bad = ~jnp.isfinite(L).all(-1) | (jnp.min(L, -1) < 0.0)
-            L = jnp.where(bad[..., None], 0.0, L)
-            return filmmod.add_samples(film, cfg, p_raster, L, aov,
-                                       mask=valid_b)
-
-        self._step = step
+        self.px = jax.device_put(self.base.px, shard)
+        self.py = jax.device_put(self.base.py, shard)
+        self.valid = jax.device_put(self.base.valid, shard)
+        self.ds = jax.tree.map(lambda a: jax.device_put(a, repl),
+                               self.base.ds)
+        self.n_batches = self.base.n_batches
+        self.batch = self.base.batch
+        self._step = jax.jit(self.base._step_py, out_shardings=repl,
+                             donate_argnums=(1,))
 
     def render(self, spp: int = None, verbose: bool = False):
         spp = spp or self.base.scene.sampler.spp
+        self._spp_rendered = spp
         repl = NamedSharding(self.mesh, P())
         film = jax.tree.map(
             lambda a: jax.device_put(a, repl),
             filmmod.new_film(self.cfg.xres, self.cfg.yres))
         for s in range(spp):
-            film = self._step(film, jnp.uint32(s), self.px, self.py, self.valid)
+            for k in range(self.n_batches):
+                sl = slice(k * self.batch, (k + 1) * self.batch)
+                film = self._step(self.ds, film, jnp.uint32(s),
+                                  self.px[sl], self.py[sl], self.valid[sl])
             if verbose:
                 print(f"  sample {s + 1}/{spp}", flush=True)
         return film
 
     def image(self, film):
-        return np.asarray(filmmod.to_image(film, self.cfg))
+        # splat normalization matches Renderer.image (film.cpp:153)
+        scale = 1.0 / max(getattr(self, "_spp_rendered", 0), 1)
+        return np.asarray(filmmod.to_image(film, self.cfg, scale))
+
+
+def scaling_curve(scene, device_counts=None, spp: int = 2):
+    """Scaling-efficiency harness (BASELINE: >= 85% at 1 chip -> 1 host ->
+    2+ hosts): renders the scene on growing submeshes and reports rays/s
+    per device count plus efficiency vs the single-device baseline.
+    Returns a list of {n_devices, rays_per_s, efficiency} dicts."""
+    import time
+
+    devs = jax.devices()
+    if device_counts is None:
+        device_counts = []
+        c = 1
+        while c <= len(devs):
+            device_counts.append(c)
+            c *= 2
+    out = []
+    npix = scene.film.xres * scene.film.yres
+    for c in device_counts:
+        sr = ShardedRenderer(scene, make_mesh(devs[:c]))
+        sr.render(spp=1)  # compile + warm
+        t0 = time.time()
+        film = sr.render(spp=spp)
+        jax.block_until_ready(film.rgb)
+        dt = (time.time() - t0) / spp
+        rps = npix / dt
+        base = out[0]["rays_per_s"] if out else rps
+        out.append({"n_devices": c, "rays_per_s": round(rps, 1),
+                    "efficiency": round(rps / (base * c), 4)})
+    return out
 
 
 def train_step_fn(scene, mesh: Mesh, target):

@@ -118,6 +118,7 @@ class DeviceScene(NamedTuple):
     # mip pyramid tables (textures/textures.py; trilinear lookup)
     tex_mip_off: jnp.ndarray = None  # (T,16) per-level atlas offsets
     tex_mips: jnp.ndarray = None     # (T,) level counts
+    tex_w2t: jnp.ndarray = None      # (T,4,4) world->texture (3D checker)
     # shared Fourier BSDF table (materials/fourier.py; dummies when absent)
     four_mu: jnp.ndarray = None
     four_a: jnp.ndarray = None
@@ -446,9 +447,9 @@ def upload(scene: FlatScene, bvh: BVHArrays = None,
         top_tiles=jnp.asarray(tla.top_tiles if tla
                               else np.zeros((1, 8, 8), np.float32)),
         tl_nodes=jnp.asarray(tla.tl_nodes if tla
-                             else np.zeros((1, 64), np.float32)),
+                             else np.zeros((1, 128), np.float32)),
         tl_prims=jnp.asarray(tla.tl_prims if tla
-                             else np.zeros((1, 32), np.float32)),
+                             else np.zeros((1, 128), np.float32)),
         med_sigma_a=(mtab.sigma_a if mtab
                      else jnp.zeros((1, 3))),
         med_sigma_s=(mtab.sigma_s if mtab
@@ -568,6 +569,7 @@ def _texture_fields(scene: FlatScene, m) -> dict:
         tex_mip_off=np.zeros((1, 16), np.int32),
         tex_mips=np.ones(1, np.int32),
         tex_atlas=np.full((1, 3), 0.5, np.float32),
+        tex_w2t=np.eye(4, dtype=np.float32)[None],
     )
     out = {k: jnp.asarray(tx.get(k, v)) for k, v in defaults.items()}
     out["mat_kd_tex"] = jnp.asarray(m.kd_tex)

@@ -24,7 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 
 (TEX_CONSTANT, TEX_SCALE, TEX_MIX, TEX_CHECKER, TEX_UV, TEX_IMAGEMAP,
- TEX_FBM, TEX_WRINKLED, TEX_MARBLE, TEX_WINDY, TEX_DOTS, TEX_BILERP) = range(12)
+ TEX_FBM, TEX_WRINKLED, TEX_MARBLE, TEX_WINDY, TEX_DOTS,
+ TEX_BILERP, TEX_CHECKER3D) = range(13)
 
 _TEX_IDS = {"constant": TEX_CONSTANT, "scale": TEX_SCALE, "mix": TEX_MIX,
             "checkerboard": TEX_CHECKER, "uv": TEX_UV, "imagemap": TEX_IMAGEMAP,
@@ -49,6 +50,7 @@ class TextureTable:
         self.atlas_len = 0
         self.mip_off: List[np.ndarray] = []   # (MAX_MIP,) atlas offsets/level
         self.mips: List[int] = []
+        self.w2t: List[np.ndarray] = []       # (4,4) world->texture (3D tex)
         self.name_to_id: Dict[str, int] = {}
 
     @staticmethod
@@ -87,6 +89,17 @@ class TextureTable:
                                             if ttype != TEX_CHECKER else [0, 0, 0])
             if ttype == TEX_MIX:
                 row["f1"] = p.find_one_float("amount", 0.5)
+            if ttype == TEX_CHECKER:
+                # dimension 3 -> solid checkerboard over world/texture space
+                # (Checkerboard3DTexture, checkerboard.h:250); 2D carries the
+                # closed-form box-filter AA flag (checkerboard.h:108
+                # AAMethod::ClosedForm, the pbrt default)
+                if p.find_one_int("dimension", 2) == 3:
+                    row["type"] = TEX_CHECKER3D
+                else:
+                    row["f1"] = float(
+                        p.find_one_string("aamode", "closedform")
+                        == "closedform")
         elif ttype == TEX_IMAGEMAP:
             fn = p.find_one_string("filename", "")
             path = fn if os.path.isabs(fn) else os.path.join(scene_dir, fn)
@@ -126,6 +139,13 @@ class TextureTable:
             row["f1"] = float(p.find_one_int("octaves", 8))
             row["f2"] = p.find_one_float("scale", 1.0)
         self.name_to_id[name] = len(self.type)
+        w2t = np.eye(4, dtype=np.float64)
+        if getattr(td, "tex2world", None) is not None:
+            try:
+                w2t = td.tex2world.m_inv
+            except Exception:
+                pass
+        self.w2t.append(np.asarray(w2t, np.float64))
         self.type.append(row["type"])
         self.v1.append(np.asarray(row["v1"], np.float64))
         self.v2.append(np.asarray(row["v2"], np.float64))
@@ -165,6 +185,8 @@ class TextureTable:
                          if self.mip_off else np.zeros((1, 16), np.int32)),
             tex_mips=np.asarray(self.mips or [1], np.int32),
             tex_atlas=atlas,
+            tex_w2t=(np.stack(self.w2t).astype(np.float32) if self.w2t
+                     else np.eye(4, dtype=np.float32)[None]),
         )
 
 
@@ -262,13 +284,20 @@ def turbulence(p, omega, octaves: int):
 # ------------------------------ evaluation ----------------------------------
 
 
-def eval_texture(tx, tex_id, uv, p_world, width=None):
+def eval_texture(tx, tex_id, uv, p_world, width=None, aniso=None):
     """Evaluate texture rows for a hit batch. tx: dict of jnp arrays from
     TextureTable.arrays(); tex_id (N,) i32 (valid ids); uv (N,2); p (N,3).
     `width` (N,) is the uv-space footprint for mip selection (mipmap.h
     Lookup(st, width): level = nLevels - 1 + log2(max(width, eps))); None
-    reads level 0. Returns (N,3). Computes every texture type once and
-    selects (few types, VPU-friendly)."""
+    reads level 0. `aniso` (N,2) is the uv-space major-axis DIAMETER of
+    the footprint ellipse and adds EWA-style anisotropic filtering
+    (mipmap.h EWA re-architected for static shapes: a fixed 4-tap Gaussian
+    line filter along the major axis, each tap a trilinear fetch at the
+    MINOR-axis level given by `width` — the construction hardware
+    anisotropic filtering uses; eccentricity is clamped by the caller like
+    the reference's MaxAnisotropy, mipmap.h:180). Returns (N,3).
+    Computes every texture type once and selects (few types,
+    VPU-friendly)."""
     t = tx["tex_type"][tex_id]
     v1 = tx["tex_v1"][tex_id]
     v2 = tx["tex_v2"][tex_id]
@@ -285,11 +314,40 @@ def eval_texture(tx, tex_id, uv, p_world, width=None):
     # mix: lerp(amount, tex1, tex2)
     out = jnp.where((t == TEX_MIX)[:, None],
                     (1.0 - f1)[:, None] * v1 + f1[:, None] * v2, out)
-    # checkerboard 2D (textures/checkerboard.h)
+    # checkerboard 2D (textures/checkerboard.h): point-sampled, plus the
+    # closed-form box-filter antialiasing over the uv footprint when a
+    # width is available and the row's aamode is closedform
+    # (checkerboard.h:116-147)
     check = (jnp.floor(u).astype(jnp.int32)
              + jnp.floor(v).astype(jnp.int32)) % 2 == 0
-    out = jnp.where((t == TEX_CHECKER)[:, None],
-                    jnp.where(check[:, None], v1, v2), out)
+    chk_val = jnp.where(check[:, None], v1, v2)
+    if width is not None:
+        # bumpInt(x) = integral of the 1D square wave's tex2 indicator
+        def bump_int(x):
+            fh = jnp.floor(x / 2.0)
+            return fh + 2.0 * jnp.maximum(x / 2.0 - fh - 0.5, 0.0)
+
+        du = jnp.maximum(width, 1e-8)
+        s0, s1 = u - du, u + du
+        t0_, t1_ = v - du, v + du
+        sint = (bump_int(s1) - bump_int(s0)) / (2.0 * du)
+        tint = (bump_int(t1_) - bump_int(t0_)) / (2.0 * du)
+        area2 = sint + tint - 2.0 * sint * tint  # fraction covered by tex2
+        area2 = jnp.clip(area2, 0.0, 1.0)
+        aa_val = v1 * (1.0 - area2)[:, None] + v2 * area2[:, None]
+        chk_val = jnp.where((f1 > 0.5)[:, None], aa_val, chk_val)
+    out = jnp.where((t == TEX_CHECKER)[:, None], chk_val, out)
+    # solid 3D checkerboard in texture space (Checkerboard3DTexture,
+    # checkerboard.h:250: parity of the world->texture-mapped point)
+    w2t = tx.get("tex_w2t")
+    if w2t is not None:
+        m = w2t[tex_id]  # (N,4,4)
+        pt = jnp.einsum("nij,nj->ni", m[:, :3, :3], p_world) + m[:, :3, 3]
+        c3 = (jnp.floor(pt[:, 0]).astype(jnp.int32)
+              + jnp.floor(pt[:, 1]).astype(jnp.int32)
+              + jnp.floor(pt[:, 2]).astype(jnp.int32)) % 2 == 0
+        out = jnp.where((t == TEX_CHECKER3D)[:, None],
+                        jnp.where(c3[:, None], v1, v2), out)
     # uv debug texture
     uv_col = jnp.stack([u - jnp.floor(u), v - jnp.floor(v),
                         jnp.zeros_like(u)], -1)
@@ -342,12 +400,14 @@ def eval_texture(tx, tex_id, uv, p_world, width=None):
     wv = v - jnp.floor(v)
     atlas = tx["tex_atlas"]
 
-    def fetch_level(lvl):
+    def fetch_level(lvl, wu_=None, wv_=None):
+        wu_ = wu if wu_ is None else wu_
+        wv_ = wv if wv_ is None else wv_
         off_l = jnp.take_along_axis(mip_off, lvl[:, None], 1)[:, 0]
         w_l = jnp.maximum(jnp.right_shift(w_img, lvl), 1)
         h_l = jnp.maximum(jnp.right_shift(h_img, lvl), 1)
-        fx = wu * w_l - 0.5
-        fy = (1.0 - wv) * h_l - 0.5  # v=0 at image bottom
+        fx = wu_ * w_l - 0.5
+        fy = (1.0 - wv_) * h_l - 0.5  # v=0 at image bottom
         x0 = jnp.floor(fx)
         y0 = jnp.floor(fy)
         ax = (fx - x0)[:, None]
@@ -364,16 +424,36 @@ def eval_texture(tx, tex_id, uv, p_world, width=None):
                 + (1 - ax) * ay * texel(x0, y0 + 1)
                 + ax * ay * texel(x0 + 1, y0 + 1))
 
-    if width is None:
-        img_val = fetch_level(jnp.zeros_like(w_img))
-    else:
+    def trilinear(wu_, wv_, width_):
         lvl_f = (mips - 1).astype(jnp.float32) + jnp.log2(
-            jnp.maximum(width, 1e-8))
+            jnp.maximum(width_, 1e-8))
         lvl_f = jnp.clip(lvl_f, 0.0, jnp.maximum(mips - 1, 0))
         l0 = jnp.floor(lvl_f).astype(jnp.int32)
         l1 = jnp.minimum(l0 + 1, jnp.maximum(mips - 1, 0))
         tt = (lvl_f - l0)[:, None]
-        img_val = (1.0 - tt) * fetch_level(l0) + tt * fetch_level(l1)
+        return ((1.0 - tt) * fetch_level(l0, wu_, wv_)
+                + tt * fetch_level(l1, wu_, wv_))
+
+    if width is None:
+        img_val = fetch_level(jnp.zeros_like(w_img), wu, wv)
+    elif aniso is None:
+        img_val = trilinear(wu, wv, width)
+    else:
+        # EWA-style anisotropic: 4 Gaussian taps along the uv major axis
+        # at the minor-axis mip level (mipmap.h EWA; fixed tap count keeps
+        # shapes static). aniso spans the FULL major diameter.
+        duv_major = aniso
+        img_val = 0.0
+        taps = ((-0.375, 0.274), (-0.125, 0.323),
+                (0.125, 0.323), (0.375, 0.274))
+        wsum = sum(w for _, w in taps)
+        for off, wgt in taps:
+            tu = uv[:, 0] + off * duv_major[:, 0]
+            tv = uv[:, 1] + off * duv_major[:, 1]
+            tu = tu * us[:, 0]
+            tv = tv * us[:, 1]
+            img_val = img_val + (wgt / wsum) * trilinear(
+                tu - jnp.floor(tu), tv - jnp.floor(tv), width)
     out = jnp.where((t == TEX_IMAGEMAP)[:, None] & has_img[:, None],
                     img_val, out)
     return out

@@ -41,6 +41,15 @@ def main(argv=None):
                     help="write the full accelerator-tree serialization "
                          "(GenericBSP operator<<, off by default like the "
                          "reference's writeFile)")
+    ap.add_argument("--mesh", action="store_true",
+                    help="shard rays over every visible device "
+                         "(jax.sharding.Mesh data parallelism)")
+    ap.add_argument("--distributed", default=None, metavar="HOST:PORT",
+                    help="multi-host rendering: coordinator address "
+                         "(the reference ssh farm, run_distributed.sh, as "
+                         "one jax.distributed job); implies --mesh")
+    ap.add_argument("--num-hosts", type=int, default=None)
+    ap.add_argument("--host-id", type=int, default=None)
     args = ap.parse_args(argv)
 
     if args.quiet:
@@ -50,6 +59,15 @@ def main(argv=None):
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.distributed is not None:
+        from tpupt.parallel.mesh import init_distributed
+
+        pid, pcount = init_distributed(args.distributed, args.num_hosts,
+                                       args.host_id)
+        args.mesh = True
+        if not args.quiet:
+            print(f"distributed: process {pid}/{pcount}, "
+                  f"{len(jax.devices())} global devices")
 
     from tpupt.scene.loader import parse_file
     from tpupt.scene.flatten import flatten, with_resolution
@@ -103,9 +121,17 @@ def main(argv=None):
                                      verbose=not args.quiet)
         film = None
         render_s = time.time() - t0
+    elif args.mesh and len(jax.devices()) > 1:
+        from tpupt.parallel.mesh import ShardedRenderer, make_mesh
+
+        sr = ShardedRenderer(scene, make_mesh(), base=r)
+        film = sr.render(spp=spp, verbose=not args.quiet)
+        jax.block_until_ready(film.rgb)
+        render_s = time.time() - t0
+        img = sr.image(film)
+        r = sr.base  # stats/AOVs read through the base renderer
     else:
         film = r.render(spp=spp, verbose=not args.quiet)
-        import jax.numpy as jnp
 
         jax.block_until_ready(film.rgb)
         render_s = time.time() - t0
@@ -146,8 +172,22 @@ def main(argv=None):
         base = os.path.splitext(out)[0]
         import numpy as np
 
-        for k, v in (r.aovs(film).items() if film is not None else ()):
+        aovs = r.aovs(film) if film is not None else {}
+        for k, v in aovs.items():
             np.savetxt(f"{base}.{k}.txt", v, fmt="%.2f")
+        if aovs:
+            # leaf-size histogram mean (WriteGeneralStatMapImage
+            # leafNodeIntersectionMeanAmount, film.cpp:210-239): mean prim
+            # count of the leaves each pixel's rays visited == total prims
+            # in visited leaves / leaf visits (the per-(leaf,prim) test
+            # counter IS that numerator). Closest-hit and shadow-ray
+            # traversals are merged in the AOV channels (the reference
+            # splits a -P variant).
+            mean_amt = np.where(aovs["leaf_visits"] > 0,
+                                aovs["prim_tests"]
+                                / np.maximum(aovs["leaf_visits"], 1), 0.0)
+            np.savetxt(f"{base}-leafNodeIntersectionMeanAmount.txt",
+                       mean_amt, fmt="%.3f")
         if hasattr(r, "accel_nodes"):
             # node-type depth histograms next to the image
             # (GenericBSP::writeNodeTypeDepthMaps, genericBSP.h:132)
