@@ -100,6 +100,24 @@ def test_sppm_converges_to_path():
     np.testing.assert_allclose(im.mean(), ip.mean(), rtol=0.12)
 
 
+def test_sppm_glossy_gather_converges():
+    """Full-BSDF photon gathering (sppm.cpp:262): a GLOSSY floor's visible
+    points must gather through their microfacet lobe, not a diffuse
+    approximation — the sppm image still matches the path tracer."""
+    from tpupt.integrators.sppm import SPPMRenderer
+
+    txt = _SCENE.replace('Material "matte" "rgb Kd" [0.6 0.6 0.6]',
+                         'Material "plastic" "rgb Kd" [0.4 0.4 0.4] '
+                         '"rgb Ks" [0.4 0.4 0.4] "float roughness" [0.2]')
+    sc = flatten(parse_string(txt))
+    r = Renderer(sc)
+    ip = np.array(r.image(r.render(spp=32)))
+    s = SPPMRenderer(r, photons_per_iter=8192)
+    im = s.render(n_iterations=8)
+    assert np.isfinite(im).all()
+    np.testing.assert_allclose(im.mean(), ip.mean(), rtol=0.15)
+
+
 def test_sppm_radius_shrinks():
     from tpupt.integrators.sppm import SPPMRenderer
     import jax.numpy as jnp

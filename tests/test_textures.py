@@ -245,3 +245,29 @@ def test_checkerboard_3d_solid():
                       [1.5, 1.5, 0.5], [0.5, 0.5, -0.5]], jnp.float32)
     out = np.array(eval_texture(tx, tid, uv, pw))[:, 0]
     np.testing.assert_allclose(out, [1.0, 0.0, 1.0, 0.0])
+
+
+def test_hosek_sky_model(tmp_path):
+    """Hosek-Wilkie makesky (imgtool.cpp:87 parity via the published RGB
+    dataset): blue-dominant upper sky, warm peak toward the sun, energy
+    rising toward the horizon-sun direction."""
+    from tpupt.tools.imgtool import main as imgtool_main
+    from tpupt.utils import imageio
+    import os
+    from tpupt.tools import imgtool as _it
+
+    if not os.path.exists(os.path.join(os.path.dirname(_it.__file__),
+                                       "hosek_data.npz")):
+        import pytest
+        pytest.skip("hosek dataset not generated")
+    out = str(tmp_path / "sky.pfm")
+    imgtool_main(["makesky", "--elevation", "20", "--turbidity", "4",
+                  "--resolution", "32", out])
+    img = imageio.read_pfm(out)
+    assert np.isfinite(img).all() and img.max() > 0
+    upper = img[:12]
+    assert (upper[..., 2] > upper[..., 0]).mean() > 0.8  # blue sky
+    # the brightest sky direction is near the sun azimuth (phi ~ 0)
+    lum = img[..., :3].mean(-1)
+    iy, ix = np.unravel_index(np.argmax(lum), lum.shape)
+    assert ix < 4 or ix > 60  # sun sits at phi=0 (wrap)

@@ -215,16 +215,22 @@ class SPPMRenderer:
                                 r2 = radius[vid] ** 2
                                 near = valid_k & vp["have"][vid] \
                                     & (dist2 <= r2)
-                                # Phi += beta * f(wo_vp, -d). Visible points
-                                # stop at the first non-specular vertex; the
-                                # gather evaluates their DIFFUSE lobe
-                                # (kd/pi) — full-BSDF gathering like
-                                # sppm.cpp:262 is a noted refinement
-                                kd_v = ds.mat_kd[vp["mat"][vid]]
-                                same_side = dot(vp["ns"][vid], -d) \
-                                    * dot(vp["ns"][vid], vp["wo"][vid]) > 0
-                                f_v = kd_v * bx.INV_PI
-                                near = near & same_side
+                                # Phi += beta * f(wo_vp, -d): the FULL
+                                # BSDF of the visible point (sppm.cpp:262
+                                # bsdf->f(wo, wi)), not just its diffuse
+                                # lobe — glossy visible points gather
+                                # photons through their microfacet lobes
+                                mp_v = bx.gather_mat_params(
+                                    ds, vp["mat"][vid], uv=vp["uv"][vid],
+                                    p=vp["p"][vid],
+                                    has_textures=st.has_textures,
+                                    has_mix="mix" in feats)
+                                tv, bv, nv = bx.make_frame(vp["ns"][vid])
+                                wo_lv = bx.to_local(tv, bv, nv,
+                                                    vp["wo"][vid])
+                                wi_lv = bx.to_local(tv, bv, nv, -d)
+                                f_v, _ = bx.eval_pdf(mp_v, wo_lv, wi_lv,
+                                                     feats)
                                 contrib = jnp.where(
                                     near[..., None], beta * f_v, 0.0)
                                 phi = phi.at[jnp.where(near, vid,

@@ -108,8 +108,46 @@ def cmd_assemble(args):
     return 0
 
 
+def _hosek_config(turbidity: float, albedo: float, elev: float):
+    """Cook the 9 distribution coefficients + radiance per RGB channel from
+    the published Hosek-Wilkie dataset (ArHosekSkyModel_CookConfiguration:
+    quintic bezier over elevation^(1/3), lerp over turbidity and albedo).
+    Returns (config (3,9), radiance (3,)) or None if the dataset npz is
+    absent (tools/gen_hosek.py generates it)."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "hosek_data.npz")
+    if not os.path.exists(path):
+        return None
+    z = np.load(path)
+    cfg, rad = z["config"], z["radiance"]  # (3,2,10,6,9), (3,2,10,6)
+    t = float(np.clip(turbidity, 1.0, 10.0))
+    it = min(int(t), 9)
+    tr = t - it
+    x = (elev / (np.pi / 2.0)) ** (1.0 / 3.0)
+    # quintic bezier weights over the 6 elevation control points
+    w = np.array([(1 - x) ** 5, 5 * (1 - x) ** 4 * x,
+                  10 * (1 - x) ** 3 * x ** 2, 10 * (1 - x) ** 2 * x ** 3,
+                  5 * (1 - x) * x ** 4, x ** 5])
+
+    def cook(tab):  # tab (3, 2, 10, 6, ...) -> (3, ...)
+        lo = np.tensordot(tab[:, :, it - 1], w, axes=([2], [0]))
+        out = (1 - albedo) * lo[:, 0] + albedo * lo[:, 1]
+        if it < 10 and tr > 0:
+            hi = np.tensordot(tab[:, :, it], w, axes=([2], [0]))
+            out = (1 - tr) * out + tr * ((1 - albedo) * hi[:, 0]
+                                         + albedo * hi[:, 1])
+        return out
+
+    return cook(cfg), cook(rad)
+
+
 def cmd_makesky(args):
-    """Equirect sky dome, simplified Preetham analytic model."""
+    """Equirect sky dome: Hosek-Wilkie 2012 analytic model from the
+    published RGB dataset (ArHosekSkyModel parity — the reference's
+    makesky, imgtool.cpp:87-187, uses the spectral variant of the same
+    model); falls back to a simplified Preetham sky if the dataset npz has
+    not been generated."""
     n = args.resolution
     h, w = n, 2 * n
     theta = (np.arange(h) + 0.5) / h * np.pi
@@ -122,6 +160,29 @@ def cmd_makesky(args):
     gamma = np.arccos(cos_g)
     cos_t = np.clip(np.cos(T), 1e-3, 1)
     t = args.turbidity
+
+    hk = _hosek_config(t, args.albedo, elev)
+    if hk is not None:
+        cfg, rad = hk
+        sky = np.zeros((h, w, 3), np.float64)
+        for c in range(3):
+            A, B, C, D, E, F_c, G, H, I = cfg[c]
+            expM = np.exp(E * gamma)
+            rayM = cos_g * cos_g
+            mieM = (1.0 + rayM) / np.power(
+                np.maximum(1.0 + H * H - 2.0 * H * cos_g, 1e-9), 1.5)
+            zenith = np.sqrt(cos_t)
+            F_val = ((1.0 + A * np.exp(B / (cos_t + 0.01)))
+                     * (C + D * expM + F_c * rayM + G * mieM + I * zenith))
+            sky[..., c] = np.maximum(F_val * rad[c], 0.0)
+        # solar disc (~0.51 deg diameter): the tristim dataset is sky-only;
+        # approximate the disc with the sky-relative solar radiance scale
+        sun_r = np.deg2rad(0.255)
+        disc = (gamma < sun_r)[..., None] * sky.max() * 5e3
+        img = (sky + disc) * (T < np.pi / 2)[..., None]
+        img = img + args.albedo * 0.2 * sky.mean() * (T >= np.pi / 2)[..., None]
+        _write(args.output, img.astype(np.float32))
+        return 0
     # Preetham luminance distribution coefficients
     A = 0.1787 * t - 1.4630
     B = -0.3554 * t + 0.4275

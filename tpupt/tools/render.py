@@ -50,7 +50,21 @@ def main(argv=None):
                          "one jax.distributed job); implies --mesh")
     ap.add_argument("--num-hosts", type=int, default=None)
     ap.add_argument("--host-id", type=int, default=None)
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="write a jax.profiler trace of the render (the "
+                         "TPU analog of the reference's SIGPROF sampling "
+                         "profiler, stats.cpp:222; view in TensorBoard)")
+    ap.add_argument("--logfile", default=None,
+                    help="append structured logs to a file (glog analog)")
+    ap.add_argument("--loglevel", default="info",
+                    choices=["debug", "info", "warning", "error"])
     args = ap.parse_args(argv)
+
+    from tpupt.utils import logging as tlog
+
+    tlog.set_level(args.loglevel)
+    if args.logfile:
+        tlog.set_logfile(args.logfile)
 
     if args.quiet:
         warnings.simplefilter("ignore")
@@ -107,35 +121,42 @@ def main(argv=None):
     spp = args.spp or scene.sampler.spp
     t0 = time.time()
     name = scene.integrator.name
-    if name == "mlt":
-        from tpupt.integrators.mlt import MLTRenderer
+    import contextlib
 
-        img = MLTRenderer(r).render(mutations_per_pixel=max(spp * 8, 32),
-                                    verbose=not args.quiet)
-        film = None
-        render_s = time.time() - t0
-    elif name == "sppm":
-        from tpupt.integrators.sppm import SPPMRenderer
+    # --profile: jax.profiler trace over the whole render (the SIGPROF
+    # sampling-profiler analog — XLA's per-op device lanes replace the
+    # reference's per-category time histogram, stats.cpp:222)
+    with (tlog.profile_to(args.profile) if args.profile
+          else contextlib.nullcontext()):
+        if name == "mlt":
+            from tpupt.integrators.mlt import MLTRenderer
 
-        img = SPPMRenderer(r).render(n_iterations=max(spp, 4),
-                                     verbose=not args.quiet)
-        film = None
-        render_s = time.time() - t0
-    elif args.mesh and len(jax.devices()) > 1:
-        from tpupt.parallel.mesh import ShardedRenderer, make_mesh
+            img = MLTRenderer(r).render(
+                mutations_per_pixel=max(spp * 8, 32),
+                verbose=not args.quiet)
+            film = None
+            render_s = time.time() - t0
+        elif name == "sppm":
+            from tpupt.integrators.sppm import SPPMRenderer
 
-        sr = ShardedRenderer(scene, make_mesh(), base=r)
-        film = sr.render(spp=spp, verbose=not args.quiet)
-        jax.block_until_ready(film.rgb)
-        render_s = time.time() - t0
-        img = sr.image(film)
-        r = sr.base  # stats/AOVs read through the base renderer
-    else:
-        film = r.render(spp=spp, verbose=not args.quiet)
+            img = SPPMRenderer(r).render(n_iterations=max(spp, 4),
+                                         verbose=not args.quiet)
+            film = None
+            render_s = time.time() - t0
+        elif args.mesh and len(jax.devices()) > 1:
+            from tpupt.parallel.mesh import ShardedRenderer, make_mesh
 
-        jax.block_until_ready(film.rgb)
-        render_s = time.time() - t0
-        img = r.image(film)
+            sr = ShardedRenderer(scene, make_mesh(), base=r)
+            film = sr.render(spp=spp, verbose=not args.quiet)
+            jax.block_until_ready(film.rgb)
+            render_s = time.time() - t0
+            img = sr.image(film)
+            r = sr.base  # stats/AOVs read through the base renderer
+        else:
+            film = r.render(spp=spp, verbose=not args.quiet)
+            jax.block_until_ready(film.rgb)
+            render_s = time.time() - t0
+            img = r.image(film)
     out = args.outfile or os.path.splitext(
         os.path.basename(scene.film.filename))[0] + ".png"
     ext = os.path.splitext(out)[1].lower()
