@@ -52,7 +52,7 @@ class MatParams(NamedTuple):
     k: jnp.ndarray         # (N,3)
     sigma_a: jnp.ndarray   # (N,) oren-nayar A
     sigma_b: jnp.ndarray   # (N,) oren-nayar B
-    extra: jnp.ndarray     # (N,8) material-specific scalars (flatten.py)
+    extra: jnp.ndarray     # (N,12) material-specific scalars (flatten.py)
     rough: jnp.ndarray     # (N,) unremapped roughness (disney/hair)
     h: jnp.ndarray         # (N,) hair fiber offset in [-1,1] (from uv.y)
     mix_a: object = None   # child MatParams when the scene has mix materials
@@ -336,8 +336,9 @@ def beckmann_pdf(wo, wh, ax, ay):
 
 # ------------------------------ Disney --------------------------------------
 # (materials/disney.cpp — diffuse + retro-reflection + sheen + GTR1 clearcoat
-# + anisotropic GGX specular with the Disney Fresnel blend; the specTrans /
-# thin / diffTrans lobes are documented as not-yet in COMPONENTS.md)
+# + anisotropic GGX specular with the Disney Fresnel blend, PLUS the full
+# transmission set: specTrans microfacet transmission, thin-surface mode with
+# flatness fakeSS and diffTrans Lambertian transmission)
 
 
 def _pow5(x):
@@ -355,6 +356,20 @@ def _disney_alphas(mp: MatParams):
     ax = jnp.maximum(0.001, r2 / aspect)
     ay = jnp.maximum(0.001, r2 * aspect)
     return ax, ay
+
+
+def _disney_trans_alphas(mp: MatParams):
+    """Transmission distribution alphas: thin surfaces use the scaled
+    roughness rscaled = (0.65 eta - 0.35) rough (disney.cpp:598)."""
+    thin = mp.extra[..., 8] > 0.5
+    eta1 = mp.eta[..., 0]
+    aniso = mp.extra[..., 6]
+    aspect = jnp.sqrt(1.0 - 0.9 * aniso)
+    rs = (0.65 * eta1 - 0.35) * mp.rough
+    axs = jnp.maximum(0.001, rs * rs / aspect)
+    ays = jnp.maximum(0.001, rs * rs * aspect)
+    ax, ay = _disney_alphas(mp)
+    return jnp.where(thin, axs, ax), jnp.where(thin, ays, ay)
 
 
 def _disney_f(mp: MatParams, wo, wi):
@@ -381,15 +396,31 @@ def _disney_f(mp: MatParams, wo, wi):
     fo = _schlick_weight(co)
     fi = _schlick_weight(ci)
 
+    strans = mp.extra[..., 7]
+    thin = mp.extra[..., 8] > 0.5
+    dt = 0.5 * mp.extra[..., 9]  # disney.cpp: dt = diffTrans / 2
+    flat = mp.extra[..., 10]
+
     # diffuse (Fresnel-weighted, no retro) + retro-reflection
     diff = c * (INV_PI * (1.0 - fo / 2.0) * (1.0 - fi / 2.0))[..., None]
     rr = 2.0 * mp.rough * cos_d * cos_d
     retro = c * (INV_PI * rr * (fo + fi + fo * fi * (rr - 1.0)))[..., None]
+    # thin-surface fake subsurface (disney.cpp DisneyFakeSS, Hanrahan-
+    # Krueger-inspired 1.25 scale)
+    fss90 = cos_d * cos_d * mp.rough
+    fss = (1.0 + (fss90 - 1.0) * fo) * (1.0 + (fss90 - 1.0) * fi)
+    ss = 1.25 * (fss * (1.0 / jnp.maximum(ci + co, 1e-6) - 0.5) + 0.5)
+    fake = c * (INV_PI * ss)[..., None]
+    diff_term = jnp.where(
+        thin[..., None],
+        ((1.0 - flat) * (1.0 - dt))[..., None] * diff
+        + (flat * (1.0 - dt))[..., None] * fake,
+        diff)
     # sheen
     csheen = (1.0 - sheen_tint)[..., None] + sheen_tint[..., None] * ctint
     sheen = sheen_w[..., None] * csheen * _schlick_weight(cos_d)[..., None]
-    diffuse_all = ((1.0 - metallic)[..., None]
-                   * (diff + retro + sheen))
+    diffuse_all = (((1.0 - metallic) * (1.0 - strans))[..., None]
+                   * (diff_term + retro + sheen))
 
     # specular: GGX aniso with Disney Fresnel (dielectric<->schlick blend)
     ax, ay = _disney_alphas(mp)
@@ -417,12 +448,22 @@ def _disney_f(mp: MatParams, wo, wi):
           / jnp.maximum(4.0 * ci * co, 1e-8))[..., None]
 
     ok = (ci > 1e-6) & (co > 1e-6) & (wh_len > 1e-8) & same_hemisphere(wo, wi)
-    return jnp.where(ok[..., None], diffuse_all + spec + cc, 0.0)
+    refl_f = jnp.where(ok[..., None], diffuse_all + spec + cc, 0.0)
+
+    # ---- transmission side (disney.cpp:593-607): specTrans microfacet
+    # transmission (T = strans * sqrt(c)) + thin diffTrans Lambertian
+    T = strans[..., None] * jnp.sqrt(jnp.maximum(c, 0.0))
+    axt, ayt = _disney_trans_alphas(mp)
+    f_mft = _mf_trans_f(T, wo, wi, axt, ayt, eta1)
+    f_dt = jnp.where(thin, dt, 0.0)[..., None] * c * INV_PI
+    trans_f = f_mft + jnp.where(
+        same_hemisphere(wo, wi)[..., None], 0.0, f_dt)
+    return refl_f + trans_f
 
 
 def _disney_pdf(mp: MatParams, wo, wi):
     """Average of the lobe pdfs with the lobe-selection weights used in
-    sample(): diffuse / GGX VNDF / GTR1-in-proportion-to-clearcoat."""
+    sample(): diffuse / GGX VNDF / GTR1 clearcoat / transmission."""
     metallic = mp.extra[..., 0]
     clearcoat = mp.extra[..., 4]
     ax, ay = _disney_alphas(mp)
@@ -440,15 +481,30 @@ def _disney_pdf(mp: MatParams, wo, wi):
     p_cc = jnp.where(same_hemisphere(wo, wi) & (wh_len > 1e-8),
                      dcc * jnp.abs(whn[..., 2])
                      / jnp.maximum(4.0 * jnp.abs(dot(wo, whn)), 1e-8), 0.0)
-    wd, ws, wc = _disney_lobe_weights(metallic, clearcoat)
-    return wd * p_diff + ws * p_spec + wc * p_cc
+    wd, ws, wc, wt = _disney_lobe_weights(mp)
+    # transmission-side densities (microfacet refract + thin cosine-down)
+    thin = mp.extra[..., 8] > 0.5
+    axt, ayt = _disney_trans_alphas(mp)
+    p_mft = _mf_trans_pdf(wo, wi, axt, ayt, mp.eta[..., 0])
+    p_down = jnp.where(~same_hemisphere(wo, wi),
+                       abs_cos_theta(wi) * INV_PI, 0.0)
+    s_mf = jnp.where(thin, 0.5, 1.0)
+    p_trans = s_mf * p_mft + (1.0 - s_mf) * p_down
+    return wd * p_diff + ws * p_spec + wc * p_cc + wt * p_trans
 
 
-def _disney_lobe_weights(metallic, clearcoat):
+def _disney_lobe_weights(mp: MatParams):
+    """Lobe-selection probabilities (wd, ws, wc, wt): the reflection trio
+    scaled down by the specTrans transmission mass wt."""
+    metallic = mp.extra[..., 0]
+    clearcoat = mp.extra[..., 4]
+    strans = mp.extra[..., 7]
+    wt = 0.5 * jnp.clip(strans * (1.0 - metallic), 0.0, 1.0)
     wd = (1.0 - metallic) * 0.5
     wc = jnp.clip(clearcoat, 0.0, 1.0) * 0.25 * (1.0 - wd)
     ws = 1.0 - wd - wc
-    return wd, ws, wc
+    keep = 1.0 - wt
+    return wd * keep, ws * keep, wc * keep, wt
 
 
 # --------------------------- lobe helpers ----------------------------------
@@ -484,6 +540,49 @@ def _microfacet_f(R, F, wo, wi, ax, ay):
     ok = (ci > 1e-6) & (co > 1e-6) & (wh_len > 1e-8) & same_hemisphere(wo, wi)
     f = R * F * (d * g / jnp.maximum(4.0 * ci * co, 1e-8))[..., None]
     return jnp.where(ok[..., None], f, 0.0)
+
+
+def _mf_trans_f(T, wo, wi, ax, ay, eta_b):
+    """MicrofacetTransmission::f (reflection.cpp:440, radiance mode,
+    etaA=1, etaB=eta_b). T is (N,3), eta_b (N,)."""
+    co = cos_theta(wo)
+    ci = cos_theta(wi)
+    eta = jnp.where(co > 0.0, eta_b, 1.0 / jnp.maximum(eta_b, 1e-6))
+    wh = wo + wi * eta[..., None]
+    wh_len = jnp.sqrt(jnp.maximum(dot(wh, wh), 1e-20))
+    wh = wh / wh_len[..., None]
+    wh = jnp.where((wh[..., 2] < 0.0)[..., None], -wh, wh)
+    odh = dot(wo, wh)
+    idh = dot(wi, wh)
+    ok = (~same_hemisphere(wo, wi)) & (jnp.abs(co) > 1e-6) \
+        & (jnp.abs(ci) > 1e-6) & (odh * idh < 0.0) & (wh_len > 1e-8)
+    F = fr_dielectric(odh, eta_b)
+    sqrt_denom = odh + eta * idh
+    d = tr_d(wh, ax, ay)
+    g = tr_g(wo, wi, ax, ay)
+    # factor = 1/eta (radiance transport compression)
+    mag = jnp.abs(d * g * eta * eta * idh * odh
+                  / jnp.maximum(jnp.abs(ci * co * sqrt_denom * sqrt_denom),
+                                1e-12)) / jnp.maximum(eta * eta, 1e-12)
+    f = T * ((1.0 - F) * mag)[..., None]
+    return jnp.where(ok[..., None], f, 0.0)
+
+
+def _mf_trans_pdf(wo, wi, ax, ay, eta_b):
+    """MicrofacetTransmission::Pdf (reflection.cpp:824): D pdf x dwh/dwi."""
+    co = cos_theta(wo)
+    eta = jnp.where(co > 0.0, eta_b, 1.0 / jnp.maximum(eta_b, 1e-6))
+    wh = wo + wi * eta[..., None]
+    wh_len = jnp.sqrt(jnp.maximum(dot(wh, wh), 1e-20))
+    wh = wh / wh_len[..., None]
+    wh = jnp.where((wh[..., 2] < 0.0)[..., None], -wh, wh)
+    odh = dot(wo, wh)
+    idh = dot(wi, wh)
+    ok = (~same_hemisphere(wo, wi)) & (odh * idh < 0.0) & (wh_len > 1e-8)
+    sqrt_denom = odh + eta * idh
+    dwh_dwi = jnp.abs(eta * eta * idh) \
+        / jnp.maximum(sqrt_denom * sqrt_denom, 1e-12)
+    return jnp.where(ok, tr_pdf(wo, wh, ax, ay) * dwh_dwi, 0.0)
 
 
 def _fresnel_blend_f(mp: MatParams, wo, wi):
@@ -550,10 +649,30 @@ def eval_pdf(mp: MatParams, wo, wi, features=frozenset()):
     sub_f = _fresnel_blend_f(mp, wo, wi)
     sub_pdf = plastic_pdf
 
-    trans_refl = mp.kd * INV_PI * _lum3(mp.kr)[..., None]
-    trans_trans = mp.kd * INV_PI * _lum3(mp.kt)[..., None]
+    # uber (uber.cpp): opacity-scaled Kd diffuse + Ks microfacet, with Kr/Kt
+    # delta lobes and the (1-op) pass-through handled in sample(); the
+    # sampleable-density mixture divides by the per-lane component count.
+    op = jnp.clip(mp.extra[..., 7], 0.0, 1.0)
+    op = jnp.where(mp.type == MAT_UBER, op, 1.0)  # slot 7 is per-type
+    n_uber = (2.0 + (_lum3(mp.kr) > 0.0) + (_lum3(mp.kt) > 0.0)
+              + (op < 1.0))
+    uber_f = op[..., None] * plastic_f
+    uber_pdf = (matte_pdf + _mf_pdf(wo, wi, mp.alpha_x, mp.alpha_y)) / n_uber
+
+    # translucent (translucent.cpp): reflect/transmit-scaled Lambertian AND
+    # microfacet lobes on both sides (FresnelDielectric(1, eta) reflection,
+    # MicrofacetTransmission(ks*t, 1, eta) transmission)
+    fr_t = fr_dielectric(dot(wo, _half(wo, wi)), eta1)
+    mfr = _microfacet_f(mp.ks * mp.kr, fr_t[..., None], wo, wi,
+                        mp.alpha_x, mp.alpha_y)
+    mft = _mf_trans_f(mp.ks * mp.kt, wo, wi, mp.alpha_x, mp.alpha_y, eta1)
+    trans_refl = mp.kd * mp.kr * INV_PI + mfr
+    trans_trans = mp.kd * mp.kt * INV_PI + mft
     transl_f = jnp.where(refl[..., None], trans_refl, trans_trans)
-    transl_pdf = 0.5 * abs_cos_theta(wi) * INV_PI
+    transl_pdf = 0.25 * (abs_cos_theta(wi) * INV_PI
+                         + _mf_pdf(wo, wi, mp.alpha_x, mp.alpha_y)
+                         + _mf_trans_pdf(wo, wi, mp.alpha_x, mp.alpha_y,
+                                         eta1))
 
     t = mp.type
     f = jnp.zeros_like(mp.kd)
@@ -562,7 +681,7 @@ def eval_pdf(mp: MatParams, wo, wi, features=frozenset()):
         (MAT_MATTE, matte_f, matte_pdf),
         (MAT_PLASTIC, plastic_f, plastic_pdf),
         (MAT_METAL, metal_f, metal_pdf),
-        (MAT_UBER, plastic_f, plastic_pdf),
+        (MAT_UBER, uber_f, uber_pdf),
         (MAT_SUBSTRATE, sub_f, sub_pdf),
         (MAT_TRANSLUCENT, transl_f, transl_pdf),
     ]
@@ -650,7 +769,7 @@ def sample(mp: MatParams, wo, u_lobe, u1, u2, features=frozenset()):
     # MATTE
     matte = dict(wi=wi_diff, spec=jnp.zeros(n, bool))
 
-    # PLASTIC / UBER: choose diffuse or microfacet
+    # PLASTIC: choose diffuse or microfacet
     wi_pl = jnp.where(pick2[..., None], wi_diff, wi_mf)
     # SUBSTRATE same selection
     # METAL: always microfacet
@@ -659,15 +778,48 @@ def sample(mp: MatParams, wo, u_lobe, u1, u2, features=frozenset()):
     F_glass = fr_dielectric(cos_theta(wo), eta1)
     choose_refl = u_lobe < F_glass
     wi_glass = jnp.where(choose_refl[..., None], wi_mirror, wi_refr)
-    # TRANSLUCENT: reflect or transmit diffuse
-    wi_tr = jnp.where(pick2[..., None], wi_diff,
-                      wi_diff * jnp.array([1.0, 1.0, -1.0]))
-    # NONE: pass-through
+
+    # UBER (uber.cpp): uniform pick among the present components
+    # kd / ks / Kr / Kt / (1-op) pass-through, as BSDF::Sample_f does
+    op_u = jnp.clip(mp.extra[..., 7], 0.0, 1.0)
+    has_kr_u = _lum3(mp.kr) > 0.0
+    has_kt_u = _lum3(mp.kt) > 0.0
+    has_op_u = op_u < 1.0
+    n_u = 2.0 + has_kr_u + has_kt_u + has_op_u
+    cu = u_lobe * n_u  # component coordinate in [0, n)
+    b_kr = 2.0 + has_kr_u
+    b_kt = b_kr + has_kt_u
+    uber_kd = cu < 1.0
+    uber_ks = (cu >= 1.0) & (cu < 2.0)
+    uber_kr = (cu >= 2.0) & (cu < b_kr)
+    uber_kt = (cu >= b_kr) & (cu < b_kt)
+    uber_op = cu >= b_kt
     wi_none = -wo
+    wi_uber = jnp.where(uber_kd[..., None], wi_diff,
+                        jnp.where(uber_ks[..., None], wi_mf,
+                                  jnp.where(uber_kr[..., None], wi_mirror,
+                                            jnp.where(uber_kt[..., None],
+                                                      wi_refr, wi_none))))
+
+    # TRANSLUCENT (translucent.cpp): 4-way uniform pick — diffuse
+    # reflection / diffuse transmission / microfacet reflection /
+    # microfacet transmission (refract about a VNDF half-vector)
+    wi_down_t = wi_diff * jnp.array([1.0, 1.0, -1.0])
+    ci_w = dot(wo, wh)  # wh from the shared VNDF draw (wo-side oriented)
+    sin2_w = eta_ratio * eta_ratio * jnp.maximum(0.0, 1.0 - ci_w * ci_w)
+    tir_w = sin2_w >= 1.0
+    ct_w = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_w))
+    wi_mft = (-eta_ratio[..., None] * wo
+              + (eta_ratio * ci_w - ct_w)[..., None] * wh)
+    tr_b = jnp.floor(jnp.clip(u_lobe, 0.0, 0.999999) * 4.0)
+    wi_tr = jnp.where((tr_b == 0)[..., None], wi_diff,
+                      jnp.where((tr_b == 1)[..., None], wi_down_t,
+                                jnp.where((tr_b == 2)[..., None],
+                                          wi_mf, wi_mft)))
 
     wi_cands = [
         (MAT_PLASTIC, wi_pl, False),
-        (MAT_UBER, wi_pl, False),
+        (MAT_UBER, wi_uber, False),
         (MAT_SUBSTRATE, wi_pl, False),
         (MAT_METAL, wi_mf, False),
         (MAT_MIRROR, wi_mirror, True),
@@ -691,10 +843,39 @@ def sample(mp: MatParams, wo, u_lobe, u1, u2, features=frozenset()):
         wh_cc = jnp.stack([st * jnp.cos(phi_cc), st * jnp.sin(phi_cc), ct], -1)
         wh_cc = jnp.where((cos_theta(wo) < 0)[..., None], -wh_cc, wh_cc)
         wi_cc = -wo + 2.0 * dot(wo, wh_cc)[..., None] * wh_cc
-        wd, ws, wc = _disney_lobe_weights(mp.extra[..., 0], mp.extra[..., 4])
-        wi_disney = jnp.where((u_lobe < wd)[..., None], wi_diff,
-                              jnp.where((u_lobe < wd + ws)[..., None],
-                                        wi_dspec, wi_cc))
+        # transmission branch: refract about a VNDF half-vector drawn from
+        # the (thin-scaled) transmission distribution; thin surfaces split
+        # half/half with the diffTrans cosine-down lobe (disney.cpp:593+)
+        daxt, dayt = _disney_trans_alphas(mp)
+        wh_t = tr_sample_wh(wo, u1, u2, daxt, dayt)  # wo-side oriented
+        eta1d = mp.eta[..., 0]
+        eta_rt = jnp.where(cos_theta(wo) > 0.0,
+                           1.0 / jnp.maximum(eta1d, 1e-6), eta1d)
+        ci_t = dot(wo, wh_t)
+        sin2_tt = eta_rt * eta_rt * jnp.maximum(0.0, 1.0 - ci_t * ci_t)
+        tir_t = sin2_tt >= 1.0
+        ct_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_tt))
+        wi_refr_t = (-eta_rt[..., None] * wo
+                     + (eta_rt * ci_t - ct_t)[..., None] * wh_t)
+        wi_down = wi_diff * jnp.array([1.0, 1.0, -1.0])
+        thin_d = mp.extra[..., 8] > 0.5
+        wd, ws, wc, wt = _disney_lobe_weights(mp)
+        b3 = wd + ws + wc
+        u_t = (u_lobe - b3) / jnp.maximum(wt, 1e-8)
+        pick_down = thin_d & (u_t >= 0.5)
+        wi_trans = jnp.where(pick_down[..., None], wi_down, wi_refr_t)
+        wi_disney = jnp.where(
+            (u_lobe < wd)[..., None], wi_diff,
+            jnp.where((u_lobe < wd + ws)[..., None], wi_dspec,
+                      jnp.where((u_lobe < b3)[..., None], wi_cc, wi_trans)))
+        # dead samples, as in the reference (each BxDF::Sample_f returns 0
+        # when the sampled wi lands in the wrong hemisphere, and Refract
+        # failure (TIR) kills the sample, reflection.h:520): without this,
+        # horizon-leaked reflection samples would be credited against a pdf
+        # that carries no leak mass and bias the estimator up.
+        intend_trans = u_lobe >= b3
+        disney_kill = (intend_trans & ~pick_down & tir_t) \
+            | (intend_trans == same_hemisphere(wo, wi_disney))
         wi_cands.append((MAT_DISNEY, wi_disney, False))
     if "hair" in features:
         from tpupt.materials.hair import hair_sample
@@ -760,6 +941,10 @@ def sample(mp: MatParams, wo, u_lobe, u1, u2, features=frozenset()):
 
     f = f_nd
     pdf = pdf_nd
+    if "disney" in features:
+        dead = (t == MAT_DISNEY) & disney_kill
+        f = jnp.where(dead[..., None], 0.0, f)
+        pdf = jnp.where(dead, 0.0, pdf)
     for tid, tf, tp in (
         (MAT_MIRROR, f_mirror, pdf_mirror),
         (MAT_GLASS, f_glass, pdf_glass),
@@ -770,6 +955,33 @@ def sample(mp: MatParams, wo, u_lobe, u1, u2, features=frozenset()):
         sel = t == tid
         f = jnp.where(sel[..., None], tf, f)
         pdf = jnp.where(sel, tp, pdf)
+
+    # uber delta components (uber.cpp: Kr SpecularReflection with
+    # FresnelDielectric, Kt SpecularTransmission(kt, 1, e), and the (1-op)
+    # pass-through SpecularTransmission(1-op, 1, 1))
+    is_uber = t == MAT_UBER
+    inv_nu = 1.0 / n_u
+    f_u_kr = op_u[..., None] * mp.kr * (F_glass / aci)[..., None]
+    f_u_kt = op_u[..., None] * mp.kt * (
+        ((1.0 - F_glass) * eta_ratio * eta_ratio) / aci)[..., None]
+    f_u_kt = jnp.where(tir[..., None], 0.0, f_u_kt)
+    f_u_op = ((1.0 - op_u) / aci)[..., None] * jnp.ones((n, 3))
+    for cond, tf in ((uber_kr, f_u_kr), (uber_kt, f_u_kt),
+                     (uber_op, f_u_op)):
+        sel = is_uber & cond
+        f = jnp.where(sel[..., None], tf, f)
+        pdf = jnp.where(sel, inv_nu, pdf)
+        specular = jnp.where(sel, True, specular)
+
+    # translucent: kill microfacet samples that landed in the wrong
+    # hemisphere (each BxDF::Sample_f returns 0 there) or hit TIR on the
+    # transmission refract — their density is not in transl_pdf
+    tr_kill = (t == MAT_TRANSLUCENT) & (
+        ((tr_b == 2) & ~same_hemisphere(wo, wi))
+        | ((tr_b == 3) & (same_hemisphere(wo, wi) | tir_w)))
+    f = jnp.where(tr_kill[..., None], 0.0, f)
+    pdf = jnp.where(tr_kill, 0.0, pdf)
+
     if "mix" in features and mp.mix_a is not None:
         # chosen mix child sampled a delta lobe: one-sample estimator with
         # the child's own f/pdf, amount-scaled (ScaledBxDF, reflection.h:130)
@@ -787,8 +999,21 @@ def sample(mp: MatParams, wo, u_lobe, u1, u2, features=frozenset()):
     # radiance compression in beta so RR sees the undistorted throughput —
     # i.e. the INVERSE of the 1/eta_rel^2-style factor baked into f.
     is_glass_trans = (t == MAT_GLASS) & ~choose_refl & ~tir
+    # uber Kt and translucent microfacet-transmission lanes carry the same
+    # eta^2 compression in f; the pass-through (1-op) lobe has eta = 1
+    is_utrans = is_uber & uber_kt & ~tir
+    is_ttrans = (t == MAT_TRANSLUCENT) & (tr_b == 3) & ~tir_w \
+        & ~same_hemisphere(wo, wi)
     eta_scale = jnp.where(
-        is_glass_trans, 1.0 / jnp.maximum(eta_ratio * eta_ratio, 1e-12), 1.0)
+        is_glass_trans | is_utrans | is_ttrans,
+        1.0 / jnp.maximum(eta_ratio * eta_ratio, 1e-12), 1.0)
+    if "disney" in features:
+        # disney specTrans refraction carries the same eta^2 compression
+        # (thin surfaces net out to 1 — light exits the far side)
+        is_dtrans = ((t == MAT_DISNEY) & (u_lobe >= b3) & ~pick_down
+                     & ~tir_t & ~thin_d)
+        eta_scale = jnp.where(
+            is_dtrans, 1.0 / jnp.maximum(eta_rt * eta_rt, 1e-12), eta_scale)
     if "mix" in features and mp.mix_a is not None:
         eta_mix = jnp.where(pick1, s1.eta_scale, s2.eta_scale)
         eta_scale = jnp.where(t == MAT_MIX, eta_mix, eta_scale)

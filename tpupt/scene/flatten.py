@@ -145,11 +145,13 @@ class Materials:
     remap_roughness: np.ndarray  # (M,) bool
     kd_tex: np.ndarray  # (M,) i32 texture id, -1 = constant kd
     ks_tex: np.ndarray
-    extra: np.ndarray  # (M,8) material-specific scalars:
+    extra: np.ndarray  # (M,12) material-specific scalars:
     #   disney: metallic, sheen, sheenTint, specTint, clearcoat,
-    #           clearcoatGloss, anisotropic  (disney.cpp params)
+    #           clearcoatGloss, anisotropic, specTrans, thin, diffTrans,
+    #           flatness               (disney.cpp params, full set)
     #   hair:   beta_m, beta_n, alpha_deg    (hair.cpp params)
     #   mix:    amount_luminance, child1 id, child2 id (mixmat.cpp)
+    #   uber:   opacity_luminance (slot 7; uber.cpp opacity pass-through)
 
     @property
     def count(self) -> int:
@@ -391,7 +393,7 @@ class _MaterialTable:
             ks=np.zeros(3), kr=np.zeros(3), kt=np.zeros(3),
             roughness=0.0, urough=-1.0, vrough=-1.0,
             eta=np.full(3, 1.5), k=np.zeros(3), sigma=0.0,
-            remap=True, kd_tex=-1, ks_tex=-1, extra=np.zeros(8),
+            remap=True, kd_tex=-1, ks_tex=-1, extra=np.zeros(12),
         )
         row["kd_tex"] = self._tex_id(p, "Kd")
         row["ks_tex"] = self._tex_id(p, "Ks")
@@ -426,6 +428,10 @@ class _MaterialTable:
             row["roughness"] = _resolve_float(p, "roughness", 0.1, self.textures, ctx)
             row["eta"] = np.full(3, _resolve_float(p, "eta", 1.5, self.textures, ctx))
             row["remap"] = p.find_one_bool("remaproughness", True)
+            # opacity < 1 adds the (1-op) pass-through delta lobe
+            # (uber.cpp:60 SpecularTransmission(1-op, 1, 1))
+            op = _resolve_spectrum(p, "opacity", [1.0] * 3, self.textures, ctx)
+            row["extra"][7] = float(np.clip(np.mean(op), 0.0, 1.0))
         elif t == MAT_SUBSTRATE:
             row["kd"] = _resolve_spectrum(p, "Kd", [0.5] * 3, self.textures, ctx)
             row["ks"] = _resolve_spectrum(p, "Ks", [0.5] * 3, self.textures, ctx)
@@ -439,8 +445,8 @@ class _MaterialTable:
             row["kt"] = _resolve_spectrum(p, "transmit", [0.5] * 3, self.textures, ctx)
             row["roughness"] = _resolve_float(p, "roughness", 0.1, self.textures, ctx)
         elif t == MAT_DISNEY:
-            # disney.cpp CreateDisneyMaterial parameter set (subset: no
-            # specTrans/thin/diffTrans — documented in COMPONENTS.md)
+            # disney.cpp CreateDisneyMaterial parameter set (full: incl.
+            # specTrans / thin / diffTrans / flatness lobes)
             row["kd"] = _resolve_spectrum(p, "color", [0.5] * 3, self.textures, ctx)
             row["roughness"] = _resolve_float(p, "roughness", 0.5, self.textures, ctx)
             row["eta"] = np.full(3, _resolve_float(p, "eta", 1.5, self.textures, ctx))
@@ -452,6 +458,10 @@ class _MaterialTable:
             row["extra"][4] = _resolve_float(p, "clearcoat", 0.0, self.textures, ctx)
             row["extra"][5] = _resolve_float(p, "clearcoatgloss", 1.0, self.textures, ctx)
             row["extra"][6] = _resolve_float(p, "anisotropic", 0.0, self.textures, ctx)
+            row["extra"][7] = _resolve_float(p, "spectrans", 0.0, self.textures, ctx)
+            row["extra"][8] = float(p.find_one_bool("thin", False))
+            row["extra"][9] = _resolve_float(p, "difftrans", 1.0, self.textures, ctx)
+            row["extra"][10] = _resolve_float(p, "flatness", 0.0, self.textures, ctx)
         elif t == MAT_HAIR:
             # hair.cpp CreateHairMaterial: sigma_a from (sigma_a | color |
             # eumelanin/pheomelanin), beta_m/beta_n roughness, alpha tilt

@@ -29,13 +29,15 @@ def run(material: str, n: int, theta_deg: float, rough: float) -> dict:
         "disney": bx.MAT_DISNEY, "hair": bx.MAT_HAIR,
     }[material]
     feats = frozenset({"disney", "hair"} & {material})
-    extra = np.zeros((n, 8), np.float32)
+    extra = np.zeros((n, 12), np.float32)
     if material == "disney":
         extra[:, 0] = 0.3  # metallic
         extra[:, 4] = 0.5  # clearcoat
         extra[:, 5] = 1.0
     if material == "hair":
         extra[:, 0] = extra[:, 1] = 0.3
+    if material == "uber":
+        extra[:, 7] = 1.0  # fully opaque (uber.cpp opacity default)
     mp = bx.MatParams(
         type=jnp.full(n, type_id, jnp.int32),
         kd=jnp.full((n, 3), 0.5), ks=jnp.full((n, 3), 0.5),
