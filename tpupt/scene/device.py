@@ -40,6 +40,9 @@ class DeviceScene(NamedTuple):
     sph_mat: jnp.ndarray
     sph_light: jnp.ndarray
     sph_reverse: jnp.ndarray
+    sph_kind: jnp.ndarray  # (S,) i32 quadric kind (shapes/quadric.py)
+    sph_q1: jnp.ndarray    # (S,) f32 kind-specific scalar
+    sph_q2: jnp.ndarray
     # wide BVH (packed rows — the hot traversal path)
     wide_nodes: jnp.ndarray  # (Nw, 64) f32
     prim_rows: jnp.ndarray   # (P, 32) f32: tri verts or sphere w2o+params
@@ -215,6 +218,15 @@ def pack_prim_rows(scene: FlatScene, prim_ids: np.ndarray) -> np.ndarray:
         rows[sph_mask, 13] = s.zmin[sid]
         rows[sph_mask, 14] = s.zmax[sid]
         rows[sph_mask, 15] = s.phimax[sid]
+        kind = (s.kind[sid] if s.kind is not None
+                else np.zeros(len(sid), np.int32))
+        rows[sph_mask, 20] = kind.astype(np.float32)
+        rows[sph_mask, 21] = (s.q1[sid] if s.q1 is not None
+                              else 0.0)
+        rows[sph_mask, 22] = (s.q2[sid] if s.q2 is not None
+                              else 0.0)
+        rows[sph_mask, 23] = np.sin(s.phimax[sid])
+        rows[sph_mask, 24] = np.cos(s.phimax[sid])
     iview[:n, 16] = prim_ids.astype(np.int32)
     iview[:n, 17] = tri_mask.astype(np.int32)
     # float-encoded copies for the pallas kernel (scalar bitcast unsupported)
@@ -436,6 +448,12 @@ def upload(scene: FlatScene, bvh: BVHArrays = None,
         sph_phimax=jnp.asarray(_pad1(s.phimax, 2 * np.pi)),
         sph_mat=jnp.asarray(_pad1(s.mat)), sph_light=jnp.asarray(_pad1(s.light, -1)),
         sph_reverse=jnp.asarray(_pad1(s.reverse)),
+        sph_kind=jnp.asarray(_pad1(
+            s.kind if s.kind is not None else np.zeros(s.count, np.int32))),
+        sph_q1=jnp.asarray(_pad1(
+            s.q1 if s.q1 is not None else np.zeros(s.count, np.float32))),
+        sph_q2=jnp.asarray(_pad1(
+            s.q2 if s.q2 is not None else np.zeros(s.count, np.float32))),
         wide_nodes=jnp.asarray(wide_nodes),
         prim_rows=jnp.asarray(prim_rows),
         wide_nodes_tiled=jnp.asarray(

@@ -108,7 +108,10 @@ class Triangles:
 
 @dataclass
 class Spheres:
-    """Analytic spheres with their transforms (cf. shapes/sphere.cpp)."""
+    """Analytic quadrics with their transforms (cf. shapes/{sphere,cylinder,
+    disk,cone,paraboloid,hyperboloid}.cpp). Historically named Spheres; each
+    row's `kind` selects the implicit surface (shapes/quadric.py), with
+    kind-specific scalars in q1/q2."""
 
     o2w: np.ndarray  # (S,4,4) f32
     w2o: np.ndarray  # (S,4,4) f32
@@ -121,6 +124,9 @@ class Spheres:
     reverse: np.ndarray  # (S,) bool (reverse orientation ^ swaps handedness)
     med_in: np.ndarray = None   # (S,) i32, -1 = vacuum
     med_out: np.ndarray = None  # (S,) i32
+    kind: np.ndarray = None     # (S,) i32 quadric kind (0 = sphere)
+    q1: np.ndarray = None       # (S,) f32 kind-specific scalar
+    q2: np.ndarray = None
 
     @property
     def count(self) -> int:
@@ -296,14 +302,17 @@ class FlatScene:
 
 
 def _sphere_world_bounds(s: Spheres):
-    """Transformed AABB of each sphere's object bounds."""
-    r = s.radius
-    corners = np.array(
-        [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)], np.float64
-    )
-    pts = corners[None, :, :] * r[:, None, None]  # (S,8,3)
+    """Transformed AABB of each quadric's object bounds (Shape::ObjectBound
+    through o2w, as each reference shape's WorldBound does)."""
+    from tpupt.shapes.quadric import quadric_object_bounds
+
+    kind = s.kind if s.kind is not None else np.zeros(s.count, np.int32)
+    lo, hi = quadric_object_bounds(kind, s.radius, s.zmin, s.zmax, s.q1, s.q2)
+    corners = np.stack([np.where(np.array(m)[None, :] > 0, hi, lo)
+                        for m in np.ndindex(2, 2, 2)], 1)  # (S,8,3)
     m = s.o2w.astype(np.float64)
-    world = np.einsum("sij,spj->spi", m[:, :3, :3], pts) + m[:, None, :3, 3]
+    world = np.einsum("sij,spj->spi", m[:, :3, :3], corners) \
+        + m[:, None, :3, 3]
     return world.min(1), world.max(1)
 
 
@@ -569,6 +578,74 @@ class _MaterialTable:
         )
 
 
+_QUADRIC_TYPES = ("sphere", "cylinder", "disk", "cone", "paraboloid",
+                  "hyperboloid")
+
+
+def _quadric_row(rec: ShapeRecord):
+    """Analytic-quadric row for the unified table (shapes/quadric.py), or
+    None to fall through to tessellation. Non-sphere quadrics with area
+    lights or animated transforms tessellate instead (the emissive-shape
+    sampler and motion deltas are triangle-based)."""
+    if rec.type not in _QUADRIC_TYPES:
+        return None
+    if rec.type != "sphere" and (rec.area_light is not None
+                                 or rec.object_to_world_end is not None):
+        return None
+    from tpupt.shapes import quadric as qd
+
+    p = rec.params
+    phimax = np.deg2rad(np.clip(p.find_one_float("phimax", 360.0),
+                                1e-3, 360.0))
+    if rec.type == "sphere":
+        r = p.find_one_float("radius", 1.0)
+        return dict(kind=qd.KIND_SPHERE, radius=r,
+                    zmin=max(p.find_one_float("zmin", -r), -r),
+                    zmax=min(p.find_one_float("zmax", r), r),
+                    phimax=phimax, q1=0.0, q2=0.0)
+    if rec.type == "cylinder":
+        return dict(kind=qd.KIND_CYLINDER,
+                    radius=p.find_one_float("radius", 1.0),
+                    zmin=p.find_one_float("zmin", -1.0),
+                    zmax=p.find_one_float("zmax", 1.0),
+                    phimax=phimax, q1=0.0, q2=0.0)
+    if rec.type == "disk":
+        h = p.find_one_float("height", 0.0)
+        return dict(kind=qd.KIND_DISK,
+                    radius=p.find_one_float("radius", 1.0),
+                    zmin=h, zmax=h, phimax=phimax,
+                    q1=p.find_one_float("innerradius", 0.0), q2=0.0)
+    if rec.type == "cone":
+        return dict(kind=qd.KIND_CONE,
+                    radius=p.find_one_float("radius", 1.0),
+                    zmin=0.0, zmax=p.find_one_float("height", 1.0),
+                    phimax=phimax, q1=0.0, q2=0.0)
+    if rec.type == "paraboloid":
+        r = p.find_one_float("radius", 1.0)
+        zmax_p = p.find_one_float("zmax", 1.0)
+        return dict(kind=qd.KIND_PARABOLOID, radius=r,
+                    zmin=p.find_one_float("zmin", 0.0), zmax=zmax_p,
+                    phimax=phimax, q1=zmax_p / max(r * r, 1e-12), q2=0.0)
+    # hyperboloid: solve a (x^2+y^2) - c z^2 = 1 through p1 and p2
+    # (hyperboloid.cpp:42-78 does this iteratively; the 2x2 linear solve is
+    # exact). Degenerate configurations tessellate instead.
+    p1 = np.asarray(p.find_one_point("p1", [0, 0, 0]), np.float64)
+    p2 = np.asarray(p.find_one_point("p2", [1, 1, 1]), np.float64)
+    s1, s2 = p1[0] ** 2 + p1[1] ** 2, p2[0] ** 2 + p2[1] ** 2
+    z1, z2 = p1[2], p2[2]
+    det = -s1 * z2 * z2 + s2 * z1 * z1
+    if abs(det) < 1e-12:
+        return None
+    ah = (z1 * z1 - z2 * z2) / det
+    ch = (s1 - s2) / det
+    if not np.isfinite(ah) or not np.isfinite(ch) or ah <= 0:
+        return None
+    rmax = max(np.sqrt(s1), np.sqrt(s2))
+    return dict(kind=qd.KIND_HYPERBOLOID, radius=float(rmax),
+                zmin=float(min(z1, z2)), zmax=float(max(z1, z2)),
+                phimax=phimax, q1=float(ah), q2=float(ch))
+
+
 def _shape_to_mesh(rec: ShapeRecord, scene_dir: str):
     """Return (P, N, uv, F) in OBJECT space, or None for analytic spheres /
     unsupported shapes. Cites the Create* factories (api.cpp:446-553)."""
@@ -740,17 +817,14 @@ def flatten(desc: SceneDescription, scene_dir: str = ".") -> FlatScene:
         # equal ids (incl. the no-interface default -1/-1) keep the medium.
         mi_in = med_id(rec.medium_interface.inside)
         mi_out = med_id(rec.medium_interface.outside)
-        if rec.type == "sphere":
-            mid = mats.add(rec.material)
-            sph_rows.append(dict(
+        qrow = _quadric_row(rec)
+        if qrow is not None:
+            qrow.update(dict(
                 o2w=rec.object_to_world.m, w2o=rec.object_to_world.m_inv,
-                radius=rec.params.find_one_float("radius", 1.0),
-                zmin=rec.params.find_one_float("zmin", -1e30),
-                zmax=rec.params.find_one_float("zmax", 1e30),
-                phimax=np.deg2rad(rec.params.find_one_float("phimax", 360.0)),
-                mat=mid, light=-1,
+                mat=mats.add(rec.material), light=-1,
                 reverse=rec.reverse_orientation ^ rec.object_to_world.swaps_handedness(),
                 area=rec.area_light, med_in=mi_in, med_out=mi_out))
+            sph_rows.append(qrow)
             continue
         mesh = _shape_to_mesh(rec, scene_dir)
         if mesh is None:
@@ -841,14 +915,17 @@ def flatten(desc: SceneDescription, scene_dir: str = ".") -> FlatScene:
         w2o=np.stack([r["w2o"] for r in sph_rows]).astype(np.float32)
         if sph_rows else np.zeros((0, 4, 4), np.float32),
         radius=np.asarray([r["radius"] for r in sph_rows], np.float32),
-        zmin=np.asarray([max(r["zmin"], -r["radius"]) for r in sph_rows], np.float32),
-        zmax=np.asarray([min(r["zmax"], r["radius"]) for r in sph_rows], np.float32),
+        zmin=np.asarray([r["zmin"] for r in sph_rows], np.float32),
+        zmax=np.asarray([r["zmax"] for r in sph_rows], np.float32),
         phimax=np.asarray([r["phimax"] for r in sph_rows], np.float32),
         mat=np.asarray([r["mat"] for r in sph_rows], np.int32),
         light=sph_light.astype(np.int32),
         reverse=np.asarray([r["reverse"] for r in sph_rows], bool),
         med_in=np.asarray([r["med_in"] for r in sph_rows], np.int32),
         med_out=np.asarray([r["med_out"] for r in sph_rows], np.int32),
+        kind=np.asarray([r["kind"] for r in sph_rows], np.int32),
+        q1=np.asarray([r["q1"] for r in sph_rows], np.float32),
+        q2=np.asarray([r["q2"] for r in sph_rows], np.float32),
     )
 
     # 3. non-area lights
