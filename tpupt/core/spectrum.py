@@ -79,16 +79,118 @@ def sampled_to_xyz(s: jnp.ndarray) -> jnp.ndarray:
     cx = jnp.asarray(_CIE_X, s.dtype)
     cy = jnp.asarray(_CIE_Y, s.dtype)
     cz = jnp.asarray(_CIE_Z, s.dtype)
-    scale = (LAMBDA_END - LAMBDA_START) / (_CIE_Y_INT * N_SPECTRAL_SAMPLES) * (
-        N_SPECTRAL_SAMPLES / (LAMBDA_END - LAMBDA_START)
-    )
     return jnp.stack(
         [jnp.sum(s * cx, -1), jnp.sum(s * cy, -1), jnp.sum(s * cz, -1)], axis=-1
     ) / _CIE_Y_INT
 
 
+def _spec_rgb_m() -> np.ndarray:
+    """(3, N) linear map spectrum -> RGB consistent with sampled_to_xyz."""
+    m_xyz = np.stack([_CIE_X, _CIE_Y, _CIE_Z]) / _CIE_Y_INT
+    rgb_m = np.array([
+        [3.240479, -1.537150, -0.498535],
+        [-0.969256, 1.875991, 0.041556],
+        [0.055648, -0.204043, 1.057311],
+    ])
+    return rgb_m @ m_xyz
+
+
+# White balance: scale the spectrum->RGB map per channel so the FLAT
+# (equal-energy) spectrum maps to exactly RGB (1,1,1). Gray then uplifts to
+# a flat SPD, and products of grays stay gray — matching the reference's
+# behavior where the Smits white basis is ~flat (spectrum.cpp RGBRefl2Spect
+# tables). Without this, squared gray throughput picks up a color cast.
+_WHITE_BAL = (1.0 / (_spec_rgb_m() @ np.ones(N_SPECTRAL_SAMPLES))).astype(
+    np.float32)
+
+
 def sampled_to_rgb(s: jnp.ndarray) -> jnp.ndarray:
-    return xyz_to_rgb(sampled_to_xyz(s))
+    return xyz_to_rgb(sampled_to_xyz(s)) * jnp.asarray(_WHITE_BAL, s.dtype)
+
+
+# --- RGB -> sampled-spectrum uplift (spectrum.cpp RGBSpectrum::
+# FromRGB / the Smits-style reflectance promotion). Rather than carrying
+# the reference's tabulated basis spectra, the three primary SPDs are
+# solved at first use: smoothest spectra (second-difference energy) whose
+# sampled_to_rgb round-trip reproduces exactly (1,0,0)/(0,1,0)/(0,0,1).
+# Linearity then gives an exact round trip for every RGB triple, so a
+# flat-white scene renders identically in RGB and spectral mode while
+# products of SATURATED spectra exhibit true metamer behavior. ---
+
+_UPLIFT = None
+
+
+def _solve_uplift() -> np.ndarray:
+    """(7, N) basis SPDs: white, cyan, magenta, yellow, red, green, blue —
+    each the smoothest (second-difference energy) nonnegative spectrum whose
+    white-balanced sampled_to_rgb equals its target RGB. White solves to the
+    flat spectrum, so the Smits decomposition keeps grays flat."""
+    n = N_SPECTRAL_SAMPLES
+    # white-balanced spectrum -> rgb map (matches sampled_to_rgb): the flat
+    # spectrum maps to exactly (1,1,1), so gray uplifts to flat
+    M = _WHITE_BAL.astype(np.float64)[:, None] * _spec_rgb_m()
+    targets = np.array([
+        [1.0, 1.0, 1.0],   # white
+        [0.0, 1.0, 1.0],   # cyan
+        [1.0, 0.0, 1.0],   # magenta
+        [1.0, 1.0, 0.0],   # yellow
+        [1.0, 0.0, 0.0],   # red
+        [0.0, 1.0, 0.0],   # green
+        [0.0, 0.0, 1.0],   # blue
+    ])
+    d2 = (np.diag(np.full(n, -2.0)) + np.diag(np.ones(n - 1), 1)
+          + np.diag(np.ones(n - 1), -1))[1:-1]  # (N-2, N)
+    # min ||d2 s||^2 + eps||s||^2  s.t.  M s = target  (KKT closed form),
+    # then nonneg-projection + re-constrain sweeps
+    Q = d2.T @ d2 + 1e-7 * np.eye(n)
+    Qi = np.linalg.inv(Q)
+    lam = np.linalg.solve(M @ Qi @ M.T, targets.T)  # (3, 7)
+    B = (Qi @ M.T @ lam).T  # (7, N)
+    corr = M.T @ np.linalg.solve(M @ M.T, np.eye(3))  # min-norm re-constrain
+    for _ in range(200):
+        B = np.clip(B, 0.0, None)
+        B = B + (targets.T - M @ B.T).T @ corr.T
+    return B.astype(np.float32)
+
+
+def rgb_uplift_basis() -> np.ndarray:
+    global _UPLIFT
+    if _UPLIFT is None:
+        _UPLIFT = _solve_uplift()
+    return _UPLIFT
+
+
+def rgb_to_spectrum(rgb: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3) -> (..., 60) Smits-style promotion (spectrum.h FromRGB):
+    s = min*white + (mid-min)*secondary(argmin) + (max-mid)*primary(argmax).
+    Exact sampled_to_rgb round trip by construction; gray -> flat spectrum.
+    precision=highest on the one-hot matmuls: the TPU default bf16 passes
+    cost ~1% roundtrip error, visible as a cast on every throughput factor."""
+    import jax
+
+    t = jnp.asarray(rgb_uplift_basis(), rgb.dtype)  # (7, N)
+    mn = jnp.min(rgb, -1)
+    mx = jnp.max(rgb, -1)
+    md = jnp.sum(rgb, -1) - mn - mx
+    hi = jax.lax.Precision.HIGHEST
+    sec = jnp.matmul(jax.nn.one_hot(jnp.argmin(rgb, -1), 3, dtype=rgb.dtype),
+                     t[1:4], precision=hi)
+    prm = jnp.matmul(jax.nn.one_hot(jnp.argmax(rgb, -1), 3, dtype=rgb.dtype),
+                     t[4:7], precision=hi)
+    return (mn[..., None] * t[0] + (md - mn)[..., None] * sec
+            + (mx - md)[..., None] * prm)
+
+
+_Y_SPEC = (np.array([0.212671, 0.715160, 0.072169])
+           @ (_WHITE_BAL.astype(np.float64)[:, None] * _spec_rgb_m())
+           ).astype(np.float32)
+
+
+def spectral_luminance(s: jnp.ndarray) -> jnp.ndarray:
+    """y() of SampledSpectrum — equals luminance(sampled_to_rgb(s)) by
+    construction (same white-balanced map), so RR decisions agree between
+    RGB and spectral transport."""
+    return jnp.sum(s * jnp.asarray(_Y_SPEC, s.dtype), axis=-1)
 
 
 def blackbody(lam_nm: np.ndarray, temp_k: float) -> np.ndarray:

@@ -235,9 +235,22 @@ def pick_traversal(st: SceneStatics, force: str = None,
 
 def path_li(ds: DeviceScene, st: SceneStatics, sampler: WavefrontSampler,
             max_depth: int, rr_threshold: float,
-            px, py, sample_idx, o, d, isect=None, isect_p=None, time=None):
+            px, py, sample_idx, o, d, isect=None, isect_p=None, time=None,
+            unroll=False):
     if isect is None:
         isect, isect_p = pick_traversal(st)
+
+    def _detach(a, k):
+        # Detach the traversal INPUTS, not just its outputs: pallas_call's
+        # jvp rule materializes a combined primal+tangent kernel (2x scoped
+        # VMEM -> OOM on real chips under value_and_grad), so tangents must
+        # never reach it. Inputs are (ds, st, o, d, tmax): st is static
+        # metadata; everything array-valued gets stop_gradient.
+        ds_ = jax.tree.map(jax.lax.stop_gradient, a[0])
+        rest = tuple(jax.tree.map(jax.lax.stop_gradient, x) for x in a[2:])
+        k = {kk: jax.tree.map(jax.lax.stop_gradient, vv)
+             if kk == "time" else vv for kk, vv in k.items()}
+        return (ds_, a[1]) + rest, k
 
     def intersect(*a, **k):
         # Traversal is non-differentiable (integer hit ids; while_loop /
@@ -246,12 +259,14 @@ def path_li(ds: DeviceScene, st: SceneStatics, sampler: WavefrontSampler,
         # (SURVEY.md §7 step 7 — detached-sampling estimator).
         if time is not None:
             k.setdefault("time", time)
+        a, k = _detach(a, k)
         hit, stats = isect(*a, **k)
         return jax.tree.map(jax.lax.stop_gradient, hit), stats
 
     def intersect_p(*a, **k):
         if time is not None:
             k.setdefault("time", time)
+        a, k = _detach(a, k)
         occ, stats = isect_p(*a, **k)
         return jax.lax.stop_gradient(occ), stats
     """Trace one batch of camera rays to completion.
@@ -265,6 +280,18 @@ def path_li(ds: DeviceScene, st: SceneStatics, sampler: WavefrontSampler,
     sampler dimensions are precomputed into (D, 7, N) tensors since LDS bases
     are static per dimension. Returns (L (N,3), aov (N,4))."""
     n = o.shape[0]
+
+    # spectral transport (SampledSpectrum, spectrum.h:289): when the scene
+    # statics ask for 60 channels, every color is uplifted to a 60-bin SPD
+    # at the point it enters the throughput chain (RGB tables stay RGB —
+    # the uplift matmul rides the MXU), beta/L are spectral, and L converts
+    # to RGB after the bounce loop. C == 3 compiles the uplift away.
+    n_chan = getattr(st, "n_channels", 3)
+    if n_chan == 3:
+        def spec(x):
+            return x
+    else:
+        from tpupt.core.spectrum import rgb_to_spectrum as spec
 
     # precompute all per-bounce sample dimensions (static dim indices)
     dims = []
@@ -327,7 +354,7 @@ def path_li(ds: DeviceScene, st: SceneStatics, sampler: WavefrontSampler,
         aov_tests: jnp.ndarray
         path_len: jnp.ndarray
 
-    init = _S(o=o, d=d, L=jnp.zeros((n, 3)), beta=jnp.ones((n, 3)),
+    init = _S(o=o, d=d, L=jnp.zeros((n, n_chan)), beta=jnp.ones((n, n_chan)),
               alive=jnp.ones(n, bool), prev_specular=jnp.ones(n, bool),
               prev_pdf=jnp.ones(n), prev_p=o, eta_scale=jnp.ones(n),
               aov_nodes=jnp.zeros(n, jnp.int32),
@@ -363,7 +390,7 @@ def path_li(ds: DeviceScene, st: SceneStatics, sampler: WavefrontSampler,
             pmf0 = light_pmf_at(s.prev_p, lid0)
             w_bsdf = power_heuristic(1.0, s.prev_pdf, 1.0, lp * pmf0)
             w = jnp.where(s.prev_specular, 1.0, w_bsdf)
-            L = L + beta * le * w[..., None]
+            L = L + beta * spec(le) * w[..., None]
 
             # miss -> infinite lights (path.cpp:100-107)
             miss = alive & ~hit.valid
@@ -377,7 +404,7 @@ def path_li(ds: DeviceScene, st: SceneStatics, sampler: WavefrontSampler,
                 s.prev_specular, 1.0,
                 power_heuristic(1.0, s.prev_pdf, 1.0, miss_pdf * inf_pmf_r))
             L = L + jnp.where(miss[..., None],
-                              beta * miss_le * w_inf[..., None], 0.0)
+                              beta * spec(miss_le) * w_inf[..., None], 0.0)
 
         alive = alive & hit.valid & ~is_last
 
@@ -468,7 +495,9 @@ def path_li(ds: DeviceScene, st: SceneStatics, sampler: WavefrontSampler,
             # pair sums to 1 (EstimateDirect, integrator.cpp:130)
             w_l = jnp.where(ls.is_delta, 1.0,
                             power_heuristic(1.0, ls.pdf * pmf, 1.0, pdf_b))
-            contrib = beta * f_l * ls.li * (
+            # separate uplifts: the PRODUCT of the f and Li spectra is what
+            # distinguishes spectral from RGB transport (metamer products)
+            contrib = beta * spec(f_l) * spec(ls.li) * (
                 w_l / jnp.maximum(ls.pdf * pmf, 1e-12))[..., None]
             L = L + jnp.where((can & ~occluded)[..., None], contrib, 0.0)
 
@@ -477,7 +506,7 @@ def path_li(ds: DeviceScene, st: SceneStatics, sampler: WavefrontSampler,
         wi_w = bx.to_world(t_f, b_f, n_f, bs.wi)
         cos_w = absdot(wi_w, sp.ns)
         ok = bs.pdf > 1e-9
-        thru = bs.f * (cos_w / jnp.maximum(bs.pdf, 1e-9))[..., None]
+        thru = spec(bs.f) * (cos_w / jnp.maximum(bs.pdf, 1e-9))[..., None]
         spawn_p, spawn_ng = sp.p, sp.ng
         bs_specular, bs_pdf = bs.specular, bs.pdf
 
@@ -500,7 +529,8 @@ def path_li(ds: DeviceScene, st: SceneStatics, sampler: WavefrontSampler,
             pe, ne, w_prof, c_norm, ok_sss = sss_exit(
                 ds, st, isect, mp, sp, entered, key_sss)
             eta1 = mp.eta[..., 0]
-            beta_exit = beta * thru * w_prof  # throughput AT the exit vertex
+            # throughput AT the exit vertex
+            beta_exit = beta * thru * spec(w_prof)
             te, be_ = bx.coordinate_system(ne)
 
             # --- NEE at the exit vertex (UniformSampleOneLight) ---
@@ -522,7 +552,7 @@ def path_li(ds: DeviceScene, st: SceneStatics, sampler: WavefrontSampler,
                     1.0, ls_e.pdf * pmf_e, 1.0,
                     jnp.maximum(cos_e, 0.0) / jnp.pi))
                 contrib_e = beta_exit * (f_sw * cos_e * w_mis / jnp.maximum(
-                    ls_e.pdf * pmf_e, 1e-12))[..., None] * ls_e.li
+                    ls_e.pdf * pmf_e, 1e-12))[..., None] * spec(ls_e.li)
                 L = L + jnp.where((can_e & ~occ_e)[..., None], contrib_e,
                                   0.0)
 
@@ -534,8 +564,8 @@ def path_li(ds: DeviceScene, st: SceneStatics, sampler: WavefrontSampler,
             pdf_sss = jnp.maximum(wi_le[..., 2] / jnp.pi, 1e-9)
             f_cont = sw_lobe(eta1, c_norm, wi_le[..., 2])
             # thru at exit = w_prof * Sw * cos / pdf
-            thru_sss = w_prof * (f_cont * wi_le[..., 2]
-                                 / pdf_sss)[..., None]
+            thru_sss = spec(w_prof) * (f_cont * wi_le[..., 2]
+                                       / pdf_sss)[..., None]
             wi_w = jnp.where(entered[..., None], wi_sss, wi_w)
             thru = jnp.where(entered[..., None],
                              jnp.where(ok_sss[..., None], thru * thru_sss,
@@ -572,12 +602,27 @@ def path_li(ds: DeviceScene, st: SceneStatics, sampler: WavefrontSampler,
         return _S(o, d, L, beta, alive, prev_specular, prev_pdf, prev_p,
                   eta_scale, aov_nodes, aov_leaves, aov_tests, path_len)
 
-    out = jax.lax.fori_loop(0, max_depth + 1, body, init)
+    if unroll:
+        # Python-unrolled bounce loop for reverse-mode AD: linearizing the
+        # fori_loop wraps its body in a closed_call, inside which Mosaic
+        # stack-allocates the pallas traversal's FULL operands in scoped
+        # VMEM (~32 MB > the 16 MB limit on v5e). Straight-line code keeps
+        # the pallas calls at jit top level where operands stream from HBM.
+        out = init
+        for bounce in range(max_depth + 1):
+            out = body(bounce, out)
+    else:
+        out = jax.lax.fori_loop(0, max_depth + 1, body, init)
+    L_out = out.L
+    if n_chan != 3:
+        from tpupt.core.spectrum import sampled_to_rgb
+
+        L_out = sampled_to_rgb(L_out)
     aov = jnp.stack([out.aov_nodes.astype(jnp.float32),
                      out.aov_leaves.astype(jnp.float32),
                      out.aov_tests.astype(jnp.float32),
                      out.path_len.astype(jnp.float32)], -1)
-    return out.L, aov
+    return L_out, aov
 
 
 def _enable_compile_cache():
@@ -601,15 +646,24 @@ class Renderer:
     sample-indexed full-frame wavefronts and accumulates the film."""
 
     def __init__(self, scene: FlatScene, light_strategy: str = None,
-                 collect_stats: bool = False):
+                 collect_stats: bool = False, spectral: bool = False):
         """collect_stats compiles the per-ray GeneralStats counters into
         the pallas traversal (node/leaf/prim-test AOVs; ~10% slower) —
         the CLI turns it on for --stats/--writestats. The XLA fallback
-        path always collects."""
+        path always collects. spectral=True renders with full 60-bin
+        sampled-spectrum transport (spectrum.h:289; path integrator)."""
         _enable_compile_cache()
         strategy = light_strategy or scene.integrator.light_strategy
         self.scene = scene
-        self.ds, self.st = upload(scene, light_strategy=strategy)
+        if spectral and scene.integrator.name != "path":
+            import warnings
+
+            warnings.warn("spectral transport is implemented for the "
+                          f"path-family integrators; {scene.integrator.name}"
+                          " renders in RGB")
+            spectral = False
+        self.ds, self.st = upload(scene, light_strategy=strategy,
+                                  spectral=spectral)
         self.sampler = WavefrontSampler(
             scene.sampler.name, scene.film.xres, scene.film.yres,
             scene.sampler.spp, scene.sampler.seed)
@@ -775,8 +829,13 @@ class Renderer:
                                  px_b, py_b, sample_idx, o, d,
                                  isect=self._isect, isect_p=self._isect_p,
                                  time=time)
-            # NaN/inf clamping to black (integrator.cpp:300-321)
-            bad = ~jnp.isfinite(L).all(-1) | (jnp.min(L, -1) < 0.0)
+            # NaN/inf clamping to black (integrator.cpp:300-321): the
+            # reference kills samples with NEGATIVE LUMINANCE (y < -1e-5),
+            # not per-channel negatives — spectral->RGB conversion puts
+            # small legitimate out-of-gamut negatives in saturated colors
+            from tpupt.core.spectrum import luminance as _lum
+
+            bad = ~jnp.isfinite(L).all(-1) | (_lum(L) < -1e-5)
             L = jnp.where(bad[..., None], 0.0, L)
             if cam_alive is not None:
                 L = jnp.where(cam_alive[..., None], L, 0.0)

@@ -187,6 +187,11 @@ class SceneStatics(NamedTuple):
     cam_animated: bool = False
     shutter_open: float = 0.0
     shutter_close: float = 1.0
+    # spectral transport (spectrum.h:50 PBRT_SAMPLED_SPECTRUM analog):
+    # 3 = RGB transport; 60 = full sampled-spectrum transport — colors are
+    # uplifted to 60-bin SPDs where they enter the throughput chain and the
+    # path carries spectral beta/L, converted to RGB at the film
+    n_channels: int = 3
 
 
 def pack_prim_rows(scene: FlatScene, prim_ids: np.ndarray) -> np.ndarray:
@@ -339,7 +344,7 @@ def _spatial_light_grid(scene: FlatScene, lt, wlo, whi):
 
 def upload(scene: FlatScene, bvh: BVHArrays = None,
            light_strategy: str = "uniform", two_level: bool = None,
-           treelet_budget: tuple = None):
+           treelet_budget: tuple = None, spectral: bool = False):
     """Build (DeviceScene, SceneStatics) from a flattened scene.
 
     two_level: force the two-level streamed traversal tables on/off
@@ -570,6 +575,7 @@ def upload(scene: FlatScene, bvh: BVHArrays = None,
         cam_animated=cam_animated,
         shutter_open=float(cam.shutter_open),
         shutter_close=float(cam.shutter_close),
+        n_channels=60 if spectral else 3,
     )
     return ds, statics
 

@@ -27,6 +27,9 @@ def main(argv=None):
     ap.add_argument("--quick", action="store_true",
                     help="1/4 resolution, 1 spp (pbrt --quick)")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument("--spectral", action="store_true",
+                    help="full 60-bin sampled-spectrum transport "
+                         "(PBRT_SAMPLED_SPECTRUM analog, spectrum.h:289)")
     ap.add_argument("--quiet", action="store_true")
     ap.add_argument("--stats", action="store_true",
                     help="print render statistics (pbrt PrintStats)")
@@ -112,7 +115,8 @@ def main(argv=None):
               f"{scene.lights.count} lights, {scene.materials.count} materials")
 
     t0 = time.time()
-    r = Renderer(scene, collect_stats=args.stats or args.writestats)
+    r = Renderer(scene, collect_stats=args.stats or args.writestats,
+                 spectral=args.spectral)
     build_s = time.time() - t0
     if not args.quiet:
         print(f"BVH + pipeline built in {build_s:.1f}s "
