@@ -44,7 +44,7 @@ def direct_lighting_li(ds, st, sampler, max_depth, strategy,
             L = L + jnp.where((alive & ~hit.valid)[..., None], beta * inf_le, 0.0)
         alive = alive & hit.valid
 
-        mp = bx.gather_mat_params(ds, sp.mat, uv=sp.uv, p=sp.p,
+        mp = bx.gather_mat_params(ds, sp.mat, uv=sp.uv, p=sp.p, face=sp.face,
                                   has_textures=st.has_textures,
                                   has_mix="mix" in st.mat_features,
                                   fourier_meta=st.fourier)

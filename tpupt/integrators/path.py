@@ -47,6 +47,7 @@ class ShadingPoint(NamedTuple):
     uv: jnp.ndarray      # (N,2)
     mat: jnp.ndarray     # (N,) i32
     light: jnp.ndarray   # (N,) i32 area-light id or -1
+    face: jnp.ndarray    # (N,) i32 ptex faceIndex (interaction.h:156)
 
 
 def shading_point(ds: DeviceScene, st: SceneStatics, hit, o, d) -> ShadingPoint:
@@ -92,6 +93,7 @@ def shading_point(ds: DeviceScene, st: SceneStatics, hit, o, d) -> ShadingPoint:
         uv=jnp.where(sel, uv_t, uv_s),
         mat=jnp.where(is_tri, mat_t, mat_s),
         light=jnp.where(is_tri, light_t, light_s),
+        face=jnp.where(is_tri, ds.tri_face[tid], 0),
     )
 
 
@@ -465,7 +467,7 @@ def path_li(ds: DeviceScene, st: SceneStatics, sampler: WavefrontSampler,
             tex_aniso = jnp.where(ok_g[..., None],
                                   jnp.stack([du_, dv_], -1), 0.0)
 
-        mp = bx.gather_mat_params(ds, sp.mat, uv=sp.uv, p=sp.p,
+        mp = bx.gather_mat_params(ds, sp.mat, uv=sp.uv, p=sp.p, face=sp.face,
                                   has_textures=st.has_textures,
                                   has_mix="mix" in st.mat_features,
                                   fourier_meta=st.fourier,

@@ -90,6 +90,7 @@ class SPPMRenderer:
             Ld = Ld + jnp.where(ok[..., None], beta * le, 0.0)
 
             mp = bx.gather_mat_params(ds, sp.mat, uv=sp.uv, p=sp.p,
+                                      face=sp.face,
                                       has_textures=st.has_textures,
                                       has_mix="mix" in feats)
             t_f, b_f, n_f = bx.make_frame(sp.ns)
@@ -242,6 +243,7 @@ class SPPMRenderer:
 
             # photon continuation (BSDF sample + RR, sppm.cpp:270-288)
             mp = bx.gather_mat_params(ds, sp.mat, uv=sp.uv, p=sp.p,
+                                      face=sp.face,
                                       has_textures=st.has_textures,
                                       has_mix="mix" in feats)
             t_f, b_f, n_f = bx.make_frame(sp.ns)

@@ -247,7 +247,7 @@ def volpath_li(ds, st, sampler, max_depth: int, rr_threshold: float,
         g_lane = mt.g[jnp.maximum(cur_med, 0)]
 
         # ---- material / frames for surface lanes ----
-        mp = bx.gather_mat_params(ds, sp.mat, uv=sp.uv, p=sp.p,
+        mp = bx.gather_mat_params(ds, sp.mat, uv=sp.uv, p=sp.p, face=sp.face,
                                   has_textures=st.has_textures,
                                   has_mix="mix" in st.mat_features,
                                   fourier_meta=st.fourier)

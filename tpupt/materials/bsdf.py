@@ -77,7 +77,7 @@ def roughness_to_alpha(r):
 
 def gather_mat_params(ds, mat_id, uv=None, p=None, has_textures=False,
                       has_mix=False, fourier_meta=None, tex_width=None,
-                      tex_aniso=None):
+                      tex_aniso=None, face=None):
     """Gather + preprocess material rows for a hit batch. When `uv`/`p`
     are given and the scene has non-constant textures, kd/ks are evaluated
     per hit (Material::ComputeScatteringFunctions texture evaluation).
@@ -90,16 +90,17 @@ def gather_mat_params(ds, mat_id, uv=None, p=None, has_textures=False,
         c2 = jnp.where(is_mix, extra[:, 2].astype(jnp.int32), mat_id)
         mp = gather_mat_params(ds, mat_id, uv, p, has_textures,
                                fourier_meta=fourier_meta,
-                               tex_width=tex_width, tex_aniso=tex_aniso)
+                               tex_width=tex_width, tex_aniso=tex_aniso,
+                               face=face)
         return mp._replace(
             mix_a=gather_mat_params(ds, c1, uv, p, has_textures,
                                     fourier_meta=fourier_meta,
                                     tex_width=tex_width,
-                                    tex_aniso=tex_aniso),
+                                    tex_aniso=tex_aniso, face=face),
             mix_b=gather_mat_params(ds, c2, uv, p, has_textures,
                                     fourier_meta=fourier_meta,
                                     tex_width=tex_width,
-                                    tex_aniso=tex_aniso))
+                                    tex_aniso=tex_aniso, face=face))
     rough = ds.mat_roughness[mat_id]
     ur = ds.mat_urough[mat_id]
     vr = ds.mat_vrough[mat_id]
@@ -118,14 +119,15 @@ def gather_mat_params(ds, mat_id, uv=None, p=None, has_textures=False,
         tx = {k: getattr(ds, k) for k in
               ("tex_type", "tex_v1", "tex_v2", "tex_uvscale", "tex_f1",
                "tex_f2", "tex_img_off", "tex_img_w", "tex_img_h",
-               "tex_mip_off", "tex_mips", "tex_atlas", "tex_w2t")}
+               "tex_mip_off", "tex_mips", "tex_atlas", "tex_w2t",
+               "tex_ptex_off", "tex_ptex_w", "tex_ptex_h")}
         kd_tid = ds.mat_kd_tex[mat_id]
         ks_tid = ds.mat_ks_tex[mat_id]
         kd_tex = eval_texture(tx, jnp.maximum(kd_tid, 0), uv, p,
-                              width=tex_width, aniso=tex_aniso)
+                              width=tex_width, aniso=tex_aniso, face=face)
         kd = jnp.where((kd_tid >= 0)[:, None], kd_tex, kd)
         ks_tex = eval_texture(tx, jnp.maximum(ks_tid, 0), uv, p,
-                              width=tex_width, aniso=tex_aniso)
+                              width=tex_width, aniso=tex_aniso, face=face)
         ks = jnp.where((ks_tid >= 0)[:, None], ks_tex, ks)
     return MatParams(
         type=ds.mat_type[mat_id],

@@ -132,6 +132,11 @@ class DeviceScene(NamedTuple):
     top_tiles: jnp.ndarray = None   # (Ntop, 8, 8) f32, VMEM-resident top tree
     tl_nodes: jnp.ndarray = None    # (NT*TN, 64) f32, streamed node blocks
     tl_prims: jnp.ndarray = None    # (NT*TP, 32) f32, streamed prim blocks
+    # ptex per-face tables (textures/ptex.py; 1-row dummies when absent)
+    tex_ptex_off: jnp.ndarray = None  # (F,) atlas offset per face
+    tex_ptex_w: jnp.ndarray = None    # (F,)
+    tex_ptex_h: jnp.ndarray = None    # (F,)
+    tri_face: jnp.ndarray = None      # (T,) i32 faceIndex per triangle
     # per-interface media (media/media.py MediaTable; medium.h parity)
     med_sigma_a: jnp.ndarray = None   # (M,3)
     med_sigma_s: jnp.ndarray = None   # (M,3)
@@ -445,6 +450,8 @@ def upload(scene: FlatScene, bvh: BVHArrays = None,
         tri_uv0=jnp.asarray(_pad1(t.uv0)), tri_uv1=jnp.asarray(_pad1(t.uv1)),
         tri_uv2=jnp.asarray(_pad1(t.uv2)),
         tri_mat=jnp.asarray(_pad1(t.mat)), tri_light=jnp.asarray(_pad1(t.light, -1)),
+        tri_face=jnp.asarray(_pad1(
+            t.face if t.face is not None else np.zeros(t.count, np.int32))),
         sph_o2w=jnp.asarray(s.o2w if s.count else eye),
         sph_w2o=jnp.asarray(s.w2o if s.count else eye),
         sph_radius=jnp.asarray(_pad1(s.radius, 1)),
@@ -594,6 +601,9 @@ def _texture_fields(scene: FlatScene, m) -> dict:
         tex_mips=np.ones(1, np.int32),
         tex_atlas=np.full((1, 3), 0.5, np.float32),
         tex_w2t=np.eye(4, dtype=np.float32)[None],
+        tex_ptex_off=np.zeros(1, np.int32),
+        tex_ptex_w=np.ones(1, np.int32),
+        tex_ptex_h=np.ones(1, np.int32),
     )
     out = {k: jnp.asarray(tx.get(k, v)) for k, v in defaults.items()}
     out["mat_kd_tex"] = jnp.asarray(m.kd_tex)

@@ -94,6 +94,9 @@ class Triangles:
     dp0: np.ndarray = None  # (T,3) f32, None = static scene
     dp1: np.ndarray = None
     dp2: np.ndarray = None
+    # per-triangle ptex faceIndex ("integer faceIndices" on trianglemesh;
+    # triangle.cpp:344 threads it into SurfaceInteraction.faceIndex)
+    face: np.ndarray = None  # (T,) i32
 
     @property
     def count(self) -> int:
@@ -665,7 +668,8 @@ def _shape_to_mesh(rec: ShapeRecord, scene_dir: str):
             fl = fl if fl is not None else p.find_floats("st")
             if fl is not None:
                 uv = fl.reshape(-1, 2)
-        return P, N, uv, F.reshape(-1, 3)
+        fi = p.find_ints("faceIndices")
+        return P, N, uv, F.reshape(-1, 3), fi
     if rec.type == "plymesh":
         fn = p.find_one_string("filename", "")
         path = fn if os.path.isabs(fn) else os.path.join(scene_dir, fn)
@@ -829,7 +833,8 @@ def flatten(desc: SceneDescription, scene_dir: str = ".") -> FlatScene:
         mesh = _shape_to_mesh(rec, scene_dir)
         if mesh is None:
             continue
-        P, N, uv, F = mesh
+        P, N, uv, F = mesh[:4]
+        face_ids = mesh[4] if len(mesh) > 4 else None
         t = rec.object_to_world
         flip = rec.reverse_orientation ^ t.swaps_handedness()
         if flip:
@@ -871,23 +876,27 @@ def flatten(desc: SceneDescription, scene_dir: str = ".") -> FlatScene:
         if rec.area_light is not None:
             ids = add_area_lights_for_tris(n_tris, rec.area_light, tri_count)
             lids[keep] = ids
+        fi_arr = (np.asarray(face_ids).reshape(-1)[: len(F)]
+                  if face_ids is not None and len(face_ids) >= len(F)
+                  else np.zeros(len(F), np.int64))
         tri_chunks.append(dict(
             p0=p0[keep], p1=p1[keep], p2=p2[keep],
             n0=n0[keep], n1=n1[keep], n2=n2[keep],
             uv0=uv0[keep], uv1=uv1[keep], uv2=uv2[keep],
             dp0=dp0_[keep], dp1=dp1_[keep], dp2=dp2_[keep],
             mat=np.full(n_tris, mid), light=lids[keep],
-            med_in=np.full(n_tris, mi_in), med_out=np.full(n_tris, mi_out)))
+            med_in=np.full(n_tris, mi_in), med_out=np.full(n_tris, mi_out),
+            face=fi_arr[keep]))
         tri_count += n_tris
 
     tris = Triangles(
         **{k: (np.concatenate([c[k] for c in tri_chunks]).astype(
-            np.int32 if k in ("mat", "light", "med_in", "med_out")
+            np.int32 if k in ("mat", "light", "med_in", "med_out", "face")
             else np.float32)
             if tri_chunks else _empty_tri_field(k))
            for k in ("p0", "p1", "p2", "n0", "n1", "n2", "uv0", "uv1", "uv2",
                      "mat", "light", "med_in", "med_out",
-                     "dp0", "dp1", "dp2")})
+                     "dp0", "dp1", "dp2", "face")})
 
     # sphere area lights: prim ids come after triangles, so assign them now
     # that tri_count is final
@@ -1097,7 +1106,7 @@ def with_resolution(scene: FlatScene, xres: int, yres: int) -> FlatScene:
 
 
 def _empty_tri_field(k: str):
-    if k in ("mat", "light", "med_in", "med_out"):
+    if k in ("mat", "light", "med_in", "med_out", "face"):
         return np.zeros(0, np.int32)
     return np.zeros((0, 2 if k.startswith("uv") else 3), np.float32)
 

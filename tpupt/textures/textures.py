@@ -25,12 +25,13 @@ import numpy as np
 
 (TEX_CONSTANT, TEX_SCALE, TEX_MIX, TEX_CHECKER, TEX_UV, TEX_IMAGEMAP,
  TEX_FBM, TEX_WRINKLED, TEX_MARBLE, TEX_WINDY, TEX_DOTS,
- TEX_BILERP, TEX_CHECKER3D) = range(13)
+ TEX_BILERP, TEX_CHECKER3D, TEX_PTEX) = range(14)
 
 _TEX_IDS = {"constant": TEX_CONSTANT, "scale": TEX_SCALE, "mix": TEX_MIX,
             "checkerboard": TEX_CHECKER, "uv": TEX_UV, "imagemap": TEX_IMAGEMAP,
             "fbm": TEX_FBM, "wrinkled": TEX_WRINKLED, "marble": TEX_MARBLE,
-            "windy": TEX_WINDY, "dots": TEX_DOTS, "bilerp": TEX_BILERP}
+            "windy": TEX_WINDY, "dots": TEX_DOTS, "bilerp": TEX_BILERP,
+            "ptex": TEX_PTEX}
 
 
 class TextureTable:
@@ -51,6 +52,11 @@ class TextureTable:
         self.mip_off: List[np.ndarray] = []   # (MAX_MIP,) atlas offsets/level
         self.mips: List[int] = []
         self.w2t: List[np.ndarray] = []       # (4,4) world->texture (3D tex)
+        # global per-face tables for ptex rows (textures/ptex.py): a ptex
+        # row's img_off = first face index here, img_w = its face count
+        self.ptex_off: List[int] = []
+        self.ptex_w: List[int] = []
+        self.ptex_h: List[int] = []
         self.name_to_id: Dict[str, int] = {}
 
     @staticmethod
@@ -132,6 +138,39 @@ class TextureTable:
                         h2, sy, w2, sx, 3).mean((1, 3))
                 row["mip_off"] = offs
                 row["mips"] = len(offs)
+        elif ttype == TEX_PTEX:
+            fn = p.find_one_string("filename", "")
+            path = fn if os.path.isabs(fn) else os.path.join(scene_dir, fn)
+            gamma = p.find_one_float("gamma", 2.2)
+            faces = None
+            if os.path.isfile(path):
+                from tpupt.textures.ptex import read_ptex
+                try:
+                    faces, _mesh = read_ptex(path)
+                except Exception as e:
+                    warnings.warn(f"ptex {fn!r} unreadable ({e}); gray")
+            else:
+                warnings.warn(f"ptex {fn!r} not found; gray")
+            if not faces:
+                row["type"] = TEX_CONSTANT
+            else:
+                row["off"] = len(self.ptex_off)  # first face index
+                row["w"] = len(faces)            # face count
+                for f in faces:
+                    f = np.asarray(f, np.float32)
+                    if f.shape[-1] == 1:
+                        f = np.repeat(f, 3, -1)
+                    # gamma decode at load (ptex.cpp:159 applies pow(gamma)
+                    # to in-gamut results; per-texel at load is the same
+                    # computation hoisted out of the hot loop)
+                    if gamma != 1.0:
+                        f = np.where((f >= 0) & (f <= 1),
+                                     f ** np.float32(gamma), f)
+                    self.ptex_off.append(self.atlas_len)
+                    self.ptex_h.append(f.shape[0])
+                    self.ptex_w.append(f.shape[1])
+                    self.atlas.append(f[..., :3].reshape(-1, 3))
+                    self.atlas_len += f.shape[0] * f.shape[1]
         elif ttype in (TEX_FBM, TEX_WRINKLED):
             row["f1"] = float(p.find_one_int("octaves", 8))
             row["f2"] = p.find_one_float("roughness", 0.5)
@@ -187,6 +226,9 @@ class TextureTable:
             tex_atlas=atlas,
             tex_w2t=(np.stack(self.w2t).astype(np.float32) if self.w2t
                      else np.eye(4, dtype=np.float32)[None]),
+            tex_ptex_off=np.asarray(self.ptex_off or [0], np.int32),
+            tex_ptex_w=np.asarray(self.ptex_w or [1], np.int32),
+            tex_ptex_h=np.asarray(self.ptex_h or [1], np.int32),
         )
 
 
@@ -284,7 +326,8 @@ def turbulence(p, omega, octaves: int):
 # ------------------------------ evaluation ----------------------------------
 
 
-def eval_texture(tx, tex_id, uv, p_world, width=None, aniso=None):
+def eval_texture(tx, tex_id, uv, p_world, width=None, aniso=None,
+                 face=None):
     """Evaluate texture rows for a hit batch. tx: dict of jnp arrays from
     TextureTable.arrays(); tex_id (N,) i32 (valid ids); uv (N,2); p (N,3).
     `width` (N,) is the uv-space footprint for mip selection (mipmap.h
@@ -456,4 +499,36 @@ def eval_texture(tx, tex_id, uv, p_world, width=None, aniso=None):
                 tu - jnp.floor(tu), tv - jnp.floor(tv), width)
     out = jnp.where((t == TEX_IMAGEMAP)[:, None] & has_img[:, None],
                     img_val, out)
+
+    # ptex: per-face texel grid selected by the hit's faceIndex
+    # (PtexTexture::Evaluate, ptex.cpp:137-165; faceIndex threading
+    # interaction.h:156). Bilinear with clamped face edges — the local uv
+    # addresses the face's own grid, no wrap.
+    if face is not None and "tex_ptex_off" in tx:
+        pw_all = tx["tex_ptex_w"]
+        first = tx["tex_img_off"][tex_id]          # first face index
+        nf = jnp.maximum(tx["tex_img_w"][tex_id], 1)
+        fidx = jnp.clip(first + jnp.clip(face, 0, nf - 1),
+                        0, pw_all.shape[0] - 1)
+        f_off = tx["tex_ptex_off"][fidx]
+        f_w = pw_all[fidx]
+        f_h = tx["tex_ptex_h"][fidx]
+        fx = jnp.clip(uv[:, 0], 0.0, 1.0) * f_w - 0.5
+        fy = (1.0 - jnp.clip(uv[:, 1], 0.0, 1.0)) * f_h - 0.5
+        x0 = jnp.floor(fx)
+        y0 = jnp.floor(fy)
+        ax = (fx - x0)[:, None]
+        ay = (fy - y0)[:, None]
+
+        def ptexel(xi, yi):
+            xi = jnp.clip(xi.astype(jnp.int32), 0, f_w - 1)
+            yi = jnp.clip(yi.astype(jnp.int32), 0, f_h - 1)
+            idx = jnp.clip(f_off + yi * f_w + xi, 0, atlas.shape[0] - 1)
+            return atlas[idx]
+
+        ptx_val = ((1 - ax) * (1 - ay) * ptexel(x0, y0)
+                   + ax * (1 - ay) * ptexel(x0 + 1, y0)
+                   + (1 - ax) * ay * ptexel(x0, y0 + 1)
+                   + ax * ay * ptexel(x0 + 1, y0 + 1))
+        out = jnp.where((t == TEX_PTEX)[:, None], ptx_val, out)
     return out
