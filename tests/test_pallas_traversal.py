@@ -47,6 +47,100 @@ WorldEnd
     return upload(flatten(parse_string(txt)))
 
 
+def _quadric_scene(seed=5):
+    """A few triangles plus one of EVERY analytic quadric kind, each under a
+    random rigid transform — exercises the unified quadric row test
+    (shapes/quadric.py) through every traversal backend."""
+    rng = np.random.default_rng(seed)
+    c = rng.uniform(-3, 3, (20, 3))
+    e1 = rng.normal(0, 0.5, (20, 3))
+    e2 = rng.normal(0, 0.5, (20, 3))
+    pts, idx = [], []
+    for i in range(20):
+        pts.extend([c[i], c[i] + e1[i], c[i] + e2[i]])
+        idx.extend([3 * i, 3 * i + 1, 3 * i + 2])
+    p_str = " ".join(f"{v:.5f}" for row in pts for v in row)
+    i_str = " ".join(str(i) for i in idx)
+    shapes = [
+        'Shape "sphere" "float radius" [0.7]',
+        'Shape "cylinder" "float radius" [0.5] "float zmin" [-0.6]'
+        ' "float zmax" [0.9]',
+        'Shape "disk" "float radius" [1.1] "float height" [0.2]'
+        ' "float innerradius" [0.3]',
+        'Shape "cone" "float radius" [0.8] "float height" [1.2]',
+        'Shape "paraboloid" "float radius" [0.7] "float zmax" [1.0]',
+        'Shape "hyperboloid" "point p1" [0.8 0 -0.3] "point p2" [0.4 0 0.9]',
+        'Shape "cylinder" "float radius" [0.5] "float zmax" [1.0]'
+        ' "float phimax" [220]',
+    ]
+    body = ""
+    for s in shapes:
+        x, y, z = rng.uniform(-2.5, 2.5, 3)
+        ax = rng.normal(0, 1, 3)
+        ax /= np.linalg.norm(ax)
+        ang = rng.uniform(0, 360)
+        body += (f'AttributeBegin\nTranslate {x:.4f} {y:.4f} {z:.4f}\n'
+                 f'Rotate {ang:.3f} {ax[0]:.4f} {ax[1]:.4f} {ax[2]:.4f}\n'
+                 f'{s}\nAttributeEnd\n')
+    txt = f"""
+Camera "perspective" "float fov" [45]
+Film "image" "integer xresolution" [8] "integer yresolution" [8]
+Integrator "path"
+WorldBegin
+Material "matte" "rgb Kd" [0.5 0.5 0.5]
+Shape "trianglemesh" "point P" [{p_str}] "integer indices" [{i_str}]
+{body}
+WorldEnd
+"""
+    sc = flatten(parse_string(txt))
+    return (sc,) + upload(sc)
+
+
+def test_quadric_kinds_all_backends():
+    """Every quadric kind through pallas(interpret) == wide == brute,
+    closest-hit t, prim id, and hit mask (cylinder.cpp/disk.cpp/cone.cpp/
+    paraboloid.cpp/hyperboloid.cpp Intersect parity, batched)."""
+    sc, ds, st = _quadric_scene()
+    assert st.n_spheres == 7
+    # aimed rays: origins on a radius-7 sphere, directions toward random
+    # targets inside the geometry's extent (random-direction rays mostly
+    # miss and leave the quadric branches untested)
+    rng = np.random.default_rng(19)
+    o = rng.normal(0, 1, (1024, 3))
+    o = 7.0 * o / np.linalg.norm(o, axis=-1, keepdims=True)
+    tgt = rng.uniform(-2.5, 2.5, (1024, 3))
+    d = tgt - o
+    d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    o, d = jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32)
+    tmax = jnp.full(1024, np.inf)
+    hit_p, _ = intersect_packets(ds, st, o, d, tmax, interpret=True)
+    hit_w, _ = intersect_wide(ds, st, o, d, tmax)
+    hit_b = intersect_brute(ds, st, o, d, tmax)
+    np.testing.assert_array_equal(np.asarray(hit_p.valid),
+                                  np.asarray(hit_b.valid))
+    np.testing.assert_array_equal(np.asarray(hit_w.valid),
+                                  np.asarray(hit_b.valid))
+    m = np.asarray(hit_b.valid)
+    assert m.sum() > 100  # the quadrics are actually being hit
+    qhits = m & (np.asarray(hit_b.prim) >= st.n_tris)
+    assert qhits.sum() > 50
+    np.testing.assert_allclose(np.asarray(hit_p.t)[m],
+                               np.asarray(hit_b.t)[m], rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hit_w.t)[m],
+                               np.asarray(hit_b.t)[m], rtol=2e-4, atol=1e-5)
+    same = np.asarray(hit_p.prim)[m] == np.asarray(hit_b.prim)[m]
+    assert same.mean() > 0.99
+    # the kd/BSP unified walker sees the same quadric rows
+    from tpupt.accel.kdbsp import build_alt_accel, intersect_kdbsp
+    from tpupt.scene.params import ParamSet
+
+    nodes, dirs, max_leaf, _ = build_alt_accel(sc, "kdtree", ParamSet())
+    hit_k, _ = intersect_kdbsp(nodes, dirs, ds, st, o, d, tmax, max_leaf)
+    np.testing.assert_array_equal(np.asarray(hit_k.valid), m)
+    np.testing.assert_allclose(np.asarray(hit_k.t)[m],
+                               np.asarray(hit_b.t)[m], rtol=2e-4, atol=1e-5)
+
+
 def _random_rays(n, seed=7):
     rng = np.random.default_rng(seed)
     o = rng.uniform(-6, 6, (n, 3)).astype(np.float32)

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from tpupt.accel.traverse import Hit, TraversalStats
-from tpupt.shapes.sphere import intersect_sphere
+from tpupt.shapes.quadric import quadric_test_parts
 from tpupt.shapes.triangle import intersect_triangle, ray_permutation
 
 STACK_DEPTH = 64
@@ -406,26 +406,21 @@ def intersect_kdbsp(nodes, dirs, ds, st, o, d, tmax, max_leaf: int,
             b1 = jnp.where(win, tb1, b1)
             b2 = jnp.where(win, tb2, b2)
             if st.n_spheres > 0:
+                # unified quadric test from the packed row (shapes/quadric.py)
                 m3 = prow[:, 0:12].reshape(n, 3, 4)
                 o_s = jnp.einsum("nij,nj->ni", m3[:, :, :3], o) + m3[:, :, 3]
                 d_s = jnp.einsum("nij,nj->ni", m3[:, :, :3], d)
-                a = jnp.sum(d_s * d_s, -1)
-                a_safe = jnp.where(a > 0, a, 1.0)
-                t_ca = jnp.sum(-o_s * d_s, -1) / a_safe
-                p_ca = o_s + t_ca[:, None] * d_s
-                d2 = jnp.sum(p_ca * p_ca, -1)
-                disc = (prow[:, 12] ** 2 - d2) * a
-                sv = (disc >= 0) & (a > 0)
-                dts = jnp.sqrt(jnp.maximum(disc, 0.0)) / a_safe
-                for ts_c in (t_ca - dts, t_ca + dts):
-                    pz = o_s[:, 2] + ts_c * d_s[:, 2]
-                    ok = sv & (ts_c > 1e-4) & (ts_c < t_cur) \
-                        & (pz >= prow[:, 13]) & (pz <= prow[:, 14])
-                    win_s = valid & ~p_is_tri & ok
-                    t_cur = jnp.where(win_s, ts_c, t_cur)
-                    prim = jnp.where(win_s, p_gid, prim)
-                    p_obj = jnp.where(win_s[:, None],
-                                      o_s + ts_c[:, None] * d_s, p_obj)
+                h_s, ts_c = quadric_test_parts(
+                    prow[:, 20], prow[:, 12], prow[:, 13], prow[:, 14],
+                    prow[:, 15], prow[:, 21], prow[:, 22],
+                    prow[:, 23], prow[:, 24],
+                    o_s[:, 0], o_s[:, 1], o_s[:, 2],
+                    d_s[:, 0], d_s[:, 1], d_s[:, 2], t_cur)
+                win_s = valid & ~p_is_tri & h_s
+                t_cur = jnp.where(win_s, ts_c, t_cur)
+                prim = jnp.where(win_s, p_gid, prim)
+                p_obj = jnp.where(win_s[:, None],
+                                  o_s + ts_c[:, None] * d_s, p_obj)
             return (t_cur, prim, b1, b2, p_obj, tests)
 
         t_cur, prim, b1, b2, p_obj, tests = jax.lax.fori_loop(

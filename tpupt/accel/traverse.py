@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from tpupt.core.vecmath import ray_inv_d
 from tpupt.scene.device import DeviceScene, SceneStatics
-from tpupt.shapes.sphere import intersect_sphere
+from tpupt.shapes.quadric import intersect_quadric, quadric_test_parts
 from tpupt.shapes.triangle import intersect_triangle, ray_permutation
 
 STACK_DEPTH = 64  # matches the reference's todo[64] (bvh.cpp:363)
@@ -152,9 +152,10 @@ def intersect(ds: DeviceScene, st: SceneStatics, o, d, tmax,
                 b2 = jnp.where(win, tb2, b2)
             if st.n_spheres > 0:
                 sid = jnp.clip(pid - st.n_tris, 0, st.n_spheres - 1)
-                h_s, ts_, po = intersect_sphere(
-                    o, d, t_cur, ds.sph_w2o[sid], ds.sph_radius[sid],
-                    ds.sph_zmin[sid], ds.sph_zmax[sid], ds.sph_phimax[sid]
+                h_s, ts_, po = intersect_quadric(
+                    o, d, t_cur, ds.sph_w2o[sid], ds.sph_kind[sid],
+                    ds.sph_radius[sid], ds.sph_zmin[sid], ds.sph_zmax[sid],
+                    ds.sph_phimax[sid], ds.sph_q1[sid], ds.sph_q2[sid]
                 )
                 win = valid & ~is_tri & h_s & (ts_ < t_cur)
                 t_cur = jnp.where(win, ts_, t_cur)
@@ -327,13 +328,18 @@ def intersect_wide(ds: DeviceScene, st: SceneStatics, o, d, tmax,
             b1 = jnp.where(win, tb1, b1)
             b2 = jnp.where(win, tb2, b2)
             if st.n_spheres > 0:
-                # sphere test from the packed w2o row
+                # unified quadric test from the packed row (w2o 3x4 in
+                # cols 0-11, r/zmin/zmax/phimax 12-15, kind/q1/q2/sin/cos
+                # 20-24 — shapes/quadric.py)
                 m3 = prow[:, 0:12].reshape(n, 3, 4)
                 os_ = jnp.einsum("nij,nj->ni", m3[:, :, :3], o) + m3[:, :, 3]
                 dsph = jnp.einsum("nij,nj->ni", m3[:, :, :3], d)
-                h_s, ts_, _ = _sphere_quadratic(
-                    os_, dsph, t_cur, prow[:, 12], prow[:, 13], prow[:, 14],
-                    prow[:, 15])
+                h_s, ts_ = quadric_test_parts(
+                    prow[:, 20], prow[:, 12], prow[:, 13], prow[:, 14],
+                    prow[:, 15], prow[:, 21], prow[:, 22],
+                    prow[:, 23], prow[:, 24],
+                    os_[:, 0], os_[:, 1], os_[:, 2],
+                    dsph[:, 0], dsph[:, 1], dsph[:, 2], t_cur)
                 win_s = valid & ~p_is_tri & h_s & (ts_ < t_cur)
                 t_cur = jnp.where(win_s, ts_, t_cur)
                 gid = jnp.where(win_s, p_gid, gid)
@@ -361,36 +367,6 @@ def intersect_wide(ds: DeviceScene, st: SceneStatics, o, d, tmax,
     return hit, TraversalStats(out.nodes, out.leaves, out.tests)
 
 
-def _sphere_quadratic(o, d, tmax, radius, zmin, zmax, phimax):
-    """Object-space stable sphere quadratic with z/phi clipping (matches
-    shapes/sphere.intersect_sphere but takes pre-transformed rays)."""
-    a = jnp.sum(d * d, axis=-1)
-    t_ca = jnp.sum(-o * d, axis=-1) / jnp.where(a > 0, a, 1.0)
-    p_ca = o + t_ca[..., None] * d
-    d2 = jnp.sum(p_ca * p_ca, axis=-1)
-    disc = (radius * radius - d2) * a
-    valid = (disc >= 0.0) & (a > 0.0)
-    dt = jnp.sqrt(jnp.maximum(disc, 0.0)) / jnp.where(a > 0, a, 1.0)
-    t0 = t_ca - dt
-    t1 = t_ca + dt
-
-    def clipped(t):
-        p = o + t[..., None] * d
-        ok = (t > 1e-4) & (t < tmax)
-        ok &= (p[..., 2] >= zmin) & (p[..., 2] <= zmax)
-        phi = jnp.arctan2(p[..., 1], p[..., 0])
-        phi = jnp.where(phi < 0, phi + 2 * jnp.pi, phi)
-        ok &= phi <= phimax
-        return ok
-
-    ok0 = clipped(t0)
-    ok1 = clipped(t1)
-    use0 = valid & ok0
-    use1 = valid & ~ok0 & ok1
-    t = jnp.where(use0, t0, t1)
-    return use0 | use1, t, None
-
-
 def intersect_brute(ds: DeviceScene, st: SceneStatics, o, d, tmax, time=None):
     """O(N*P) ground-truth intersector for validation (tests only)."""
     n = o.shape[0]
@@ -416,9 +392,10 @@ def intersect_brute(ds: DeviceScene, st: SceneStatics, o, d, tmax, time=None):
         b1 = jnp.where(win, tb1, b1)
         b2 = jnp.where(win, tb2, b2)
     for sid in range(st.n_spheres):
-        h, ts_, po = intersect_sphere(
-            o, d, t_cur, ds.sph_w2o[sid], ds.sph_radius[sid],
-            ds.sph_zmin[sid], ds.sph_zmax[sid], ds.sph_phimax[sid])
+        h, ts_, po = intersect_quadric(
+            o, d, t_cur, ds.sph_w2o[sid], ds.sph_kind[sid],
+            ds.sph_radius[sid], ds.sph_zmin[sid], ds.sph_zmax[sid],
+            ds.sph_phimax[sid], ds.sph_q1[sid], ds.sph_q2[sid])
         win = h & (ts_ < t_cur)
         t_cur = jnp.where(win, ts_, t_cur)
         prim = jnp.where(win, jnp.int32(st.n_tris + sid), prim)

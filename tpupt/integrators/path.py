@@ -34,7 +34,8 @@ from tpupt.materials import bsdf as bx
 from tpupt.samplers.samplers import WavefrontSampler
 from tpupt.scene.device import DeviceScene, SceneStatics, upload
 from tpupt.scene.flatten import LIGHT_INFINITE, FlatScene
-from tpupt.shapes.sphere import sphere_normal_uv, transform_normal
+from tpupt.shapes.quadric import quadric_normal_uv
+from tpupt.shapes.sphere import transform_normal
 
 _RR_START = 3  # bounces before RR kicks in (path.cpp:193)
 BATCH_RAYS = 131072  # fixed wavefront batch (128 pallas packets)
@@ -76,9 +77,9 @@ def shading_point(ds: DeviceScene, st: SceneStatics, hit, o, d) -> ShadingPoint:
     light_t = ds.tri_light[tid]
 
     sid = jnp.clip(prim - st.n_tris, 0, max(st.n_spheres - 1, 0))
-    n_obj, u_s, v_s = sphere_normal_uv(
-        hit.p_obj, ds.sph_o2w[sid], ds.sph_radius[sid], ds.sph_zmin[sid],
-        ds.sph_zmax[sid], ds.sph_phimax[sid])
+    n_obj, u_s, v_s = quadric_normal_uv(
+        hit.p_obj, ds.sph_kind[sid], ds.sph_radius[sid], ds.sph_zmin[sid],
+        ds.sph_zmax[sid], ds.sph_phimax[sid], ds.sph_q1[sid], ds.sph_q2[sid])
     ns_s = transform_normal(ds.sph_w2o[sid], n_obj)
     ns_s = jnp.where(ds.sph_reverse[sid][..., None], -ns_s, ns_s)
     uv_s = jnp.stack([u_s, v_s], -1)

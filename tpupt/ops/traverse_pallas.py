@@ -29,6 +29,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tpupt.shapes.quadric import quadric_test_parts
+
 PACK = 1024  # rays per packet: one (8, 128) register tile
 STACK = 64
 _BIG = 3.0e38  # plain float: jnp scalars would be captured consts in the kernel
@@ -170,39 +172,23 @@ def traverse_loop(node_at, prim_at, rays, t_ref, gid_ref, b1_ref, b2_ref,
                 b2_new = jnp.where(win_t, e2 * inv_det, b2_ref[0])
 
                 if has_spheres:
-                    # ---- sphere row: w2o 3x4 in cols 0-11 ----
+                    # ---- quadric row: w2o 3x4 in cols 0-11, r/zmin/zmax/
+                    # phimax in 12-15, kind/q1/q2/sin(pm)/cos(pm) in 20-24.
+                    # One unified test covers the whole pbrt quadric family
+                    # (shapes/quadric.py; sphere.cpp:118/cylinder.cpp:47/
+                    # disk.cpp:47/cone.cpp:49/paraboloid.cpp:50/
+                    # hyperboloid.cpp:88) ----
                     osx = ps(0) * ox + ps(1) * oy + ps(2) * oz + ps(3)
                     osy = ps(4) * ox + ps(5) * oy + ps(6) * oz + ps(7)
                     osz = ps(8) * ox + ps(9) * oy + ps(10) * oz + ps(11)
                     dsx = ps(0) * dx + ps(1) * dy + ps(2) * dz
                     dsy = ps(4) * dx + ps(5) * dy + ps(6) * dz
                     dsz = ps(8) * dx + ps(9) * dy + ps(10) * dz
-                    radius = ps(12)
-                    zmin = ps(13)
-                    zmax = ps(14)
-                    a = dsx * dsx + dsy * dsy + dsz * dsz
-                    a_safe = jnp.where(a > 0, a, 1.0)
-                    t_ca = -(osx * dsx + osy * dsy + osz * dsz) / a_safe
-                    pcx = osx + t_ca * dsx
-                    pcy = osy + t_ca * dsy
-                    pcz = osz + t_ca * dsz
-                    d2 = pcx * pcx + pcy * pcy + pcz * pcz
-                    disc = (radius * radius - d2) * a
-                    sph_valid = (disc >= 0.0) & (a > 0.0)
-                    dts = jnp.sqrt(jnp.maximum(disc, 0.0)) / a_safe
-                    ts0 = t_ca - dts
-                    ts1 = t_ca + dts
-
-                    def sph_ok(ts):
-                        pz_ = osz + ts * dsz
-                        return ((ts > 1e-4) & (ts < t_cur)
-                                & (pz_ >= zmin) & (pz_ <= zmax))
-
-                    ok0 = sph_ok(ts0)
-                    ok1 = sph_ok(ts1)
-                    ts = jnp.where(ok0, ts0, ts1)
-                    win_s = valid & ~p_is_tri & sph_valid & (ok0 | ok1) \
-                        & (ts < t_new)
+                    hit_q, ts = quadric_test_parts(
+                        ps(20), ps(12), ps(13), ps(14), ps(15),
+                        ps(21), ps(22), ps(23), ps(24),
+                        osx, osy, osz, dsx, dsy, dsz, t_new)
+                    win_s = valid & ~p_is_tri & hit_q & (ts < t_new)
                     t_new = jnp.where(win_s, ts, t_new)
                     gid_new = jnp.where(win_s, p_gid, gid_new)
 

@@ -123,7 +123,9 @@ def quadric_test_parts(kind, r, zmin, zmax, phimax, q1, q2,
         partial = phimax < (TWO_PI - 1e-6)
         ccw = px * sin_pm - py * cos_pm >= 0.0
         upper = py >= 0.0
-        in_wedge = jnp.where(phimax <= jnp.pi, upper & ccw, upper | ccw)
+        # logical (not select) form: Mosaic can't legalize selects on i1
+        le_pi = phimax <= jnp.pi
+        in_wedge = (le_pi & upper & ccw) | (~le_pi & (upper | ccw))
         ok &= ~partial | in_wedge
         return ok
 
