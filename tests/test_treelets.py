@@ -135,7 +135,7 @@ def test_requeue_matches_wide_closest(two_level):
     ds, st = two_level
     o, d, tmax = _rays(2048)
     hit_r, stats_r = intersect_packets_requeue(ds, st, o, d, tmax,
-                                               interpret=True)
+                                               interpret=True, r_list=8)
     hit_w, _ = trav.intersect_wide(ds, st, o, d, tmax)
     assert bool(jnp.any(hit_w.valid))
     np.testing.assert_array_equal(np.asarray(hit_r.valid),
@@ -159,7 +159,7 @@ def test_requeue_matches_wide_anyhit(two_level):
     ds, st = two_level
     o, d, tmax = _rays(1024, seed=7)
     hit_r, _ = intersect_packets_requeue(ds, st, o, d, tmax, any_hit=True,
-                                         interpret=True)
+                                         interpret=True, r_list=8)
     occ_w, _ = trav.intersect_p(ds, st, o, d, tmax)
     np.testing.assert_array_equal(np.asarray(hit_r.valid), np.asarray(occ_w))
 
@@ -170,33 +170,31 @@ def test_requeue_respects_tmax_and_dead(two_level):
     ds, st = two_level
     o, d, _ = _rays(1024, seed=3)
     hit_inf, _ = intersect_packets_requeue(
-        ds, st, o, d, jnp.full(1024, jnp.inf), interpret=True)
+        ds, st, o, d, jnp.full(1024, jnp.inf), interpret=True, r_list=8)
     t = np.asarray(hit_inf.t)
     v = np.asarray(hit_inf.valid)
     tmax = jnp.asarray(np.where(v, t * 0.5, 1e8).astype(np.float32))
-    hit_c, _ = intersect_packets_requeue(ds, st, o, d, tmax, interpret=True)
+    hit_c, _ = intersect_packets_requeue(ds, st, o, d, tmax, interpret=True, r_list=8)
     assert not bool(jnp.any(hit_c.valid & jnp.asarray(v)))
     hit_0, stats_0 = intersect_packets_requeue(
-        ds, st, o, d, jnp.zeros(1024), interpret=True)
+        ds, st, o, d, jnp.zeros(1024), interpret=True, r_list=8)
     assert not bool(jnp.any(hit_0.valid))
     assert int(jnp.max(stats_0.prim_tests)) == 0
 
 
-def test_requeue_tiny_round_budget_truncates_honestly(two_level):
-    """With rounds=1 some rays cannot finish their treelet lists; the
-    unprocessed remainder must be surfaced in stats.truncated, and every
-    reported hit must still be a real (possibly non-closest) hit."""
+def test_requeue_overflow_falls_back_exactly(two_level):
+    """A tiny per-ray list capacity (r_list=2 on a scene with >= 4
+    treelets) overflows for many rays; those rays must be re-traced
+    through the streamed fallback and still match the wide walker
+    EXACTLY — truncation never loses hits."""
     from tpupt.ops.traverse_requeue import intersect_packets_requeue
 
     ds, st = two_level
     o, d, tmax = _rays(2048, seed=11)
-    hit_r, stats_r = intersect_packets_requeue(ds, st, o, d, tmax,
-                                               interpret=True, rounds=1)
+    hit_r, _ = intersect_packets_requeue(ds, st, o, d, tmax,
+                                         interpret=True, r_list=2)
     hit_w, _ = trav.intersect_wide(ds, st, o, d, tmax)
     v = np.asarray(hit_w.valid)
-    vr = np.asarray(hit_r.valid)
-    # requeue may MISS hits it had no round for, but must not invent any
-    assert not bool(np.any(vr & ~v))
-    missed = v & ~vr
-    if missed.any():
-        assert int(jnp.max(stats_r.truncated)) > 0
+    np.testing.assert_array_equal(np.asarray(hit_r.valid), v)
+    np.testing.assert_allclose(np.asarray(hit_r.t)[v],
+                               np.asarray(hit_w.t)[v], rtol=2e-4, atol=1e-5)

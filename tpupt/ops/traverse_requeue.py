@@ -1,34 +1,43 @@
-"""Treelet-major ray-requeue traversal — the incoherent-bounce engine for
-scenes larger than VMEM.
+"""Treelet-major pair traversal — the incoherent-bounce engine for scenes
+larger than VMEM.
 
-Why: the packet-streamed kernel (ops/traverse_stream.py) walks each treelet
-with ALL 1024 lanes of a ray packet, so an incoherent packet pays for the
-UNION of its rays' node sets — measured 88 ms per 131k diffuse-bounce rays
-on the 1M-triangle museum vs 27 ms coherent, with DMA only ~4% of that.
-The reference's per-ray stacks (bvh.cpp:354) have no such union cost but
-don't vectorize.
+Why: the unified streamed kernel (ops/traverse_stream.py) walks each
+treelet with ALL 1024 lanes of a ray packet, so an incoherent packet pays
+for the UNION of its rays' node sets inside every treelet it touches —
+measured ~3.8k prim tests per bounce ray on the 1M-triangle museum. The
+reference's per-ray stacks (bvh.cpp:354) have no union cost but don't
+vectorize.
 
-The TPU answer is to re-queue rays by treelet between walks:
+The TPU answer is to decompose traversal into (ray, treelet) PAIRS and
+re-group the pairs by treelet:
 
   phase 1   one top-tree walk per packet emits a PER-RAY list of up to
-            R_LIST (treelet id, entry t) pairs (kernel: _kernel_top_perlane).
-  rounds    up to ROUNDS times: every unfinished ray nominates its nearest
-            unvisited treelet (cursor into its tnear-sorted list, culled by
-            its current best hit t); rays are argsorted by (treelet id,
-            direction octant) — 0.03 ms on-chip for 131k keys — and walked
-            in 1024-lane chunks whose lanes ALL want the same treelet
-            (chunks are cut into <= SEGS same-treelet segments; lanes of
-            other segments are parked by setting their best-t to -inf, so
-            they neither update hits nor force node descents). A treelet's
-            node/prim blocks are DMA'd once per residency change, not once
-            per packet. Results scatter-min back by ray id, the cull
-            tightens, and most rays finish in 1-2 rounds.
+            R_LIST (treelet id, entry t) pairs, nearest-first
+            (kernel: _kernel_top_perlane).
+  pass 0    every ray's nearest <= 2 treelets are walked: all live pairs
+            are argsorted by (treelet id, direction octant) — on-chip
+            milliseconds for millions of keys — and cut into 1024-lane
+            chunks whose lanes all want the same treelet (<= SEGS
+            same-treelet segments per chunk; lanes of other segments are
+            parked by setting their best-t to -inf, so they neither update
+            hits nor force node descents). A treelet's node/prim blocks
+            are DMA'd once per residency change, not once per packet.
+            Results scatter-min back by ray id.
+  pass 1-2  the remaining pairs, CULLED by each ray's current best t
+            (pass 0 established it from the nearest treelets, so far
+            treelets usually fail `tnear < t` and never enter a chunk),
+            are walked the same way. Pass 2 exists only to catch pairs a
+            pass deferred because a chunk exceeded SEGS distinct treelets
+            (rare after sorting); anything still live after it is counted
+            in stats.truncated.
+  fallback  rays whose phase-1 list overflowed R_LIST (ovf > 0) are
+            re-traced exactly through the unified streamed kernel (which
+            has no list capacity) and take their whole result from it —
+            so truncation never loses hits.
 
-Early termination comes from the cull itself: a ray whose next-nearest
-treelet lies beyond its current best hit never re-enters a chunk. Any
-pairs still live after ROUNDS rounds are counted in stats.truncated
-(possible missed hit, surfaced per the no-silent-truncation rule), as are
-per-ray phase-1 list overflows.
+Inside a same-treelet chunk the walked node set is the union over ~1024
+rays that all chose that treelet, so leaf tests amortize across the wave
+instead of multiplying per packet.
 """
 
 from __future__ import annotations
@@ -46,7 +55,8 @@ _BIG = 3.0e38
 ROWS = 8
 PACK = ROWS * 128
 R_LIST = 16   # per-ray treelet-list capacity (phase 1)
-SEGS = 8      # max distinct treelets per 1024-lane chunk per round
+SEGS = 16     # max distinct treelets per 1024-lane chunk per pass
+WAVE0 = 2     # nearest treelets walked in pass 0 (establishes the cull t)
 
 
 # ----------------------- phase 1: per-ray binning ---------------------------
@@ -58,9 +68,8 @@ def _kernel_top_perlane(nodes_ref,
                         tid_ref, tn_ref, ovf_ref,
                         stack_ref, *, r_list: int):
     """Walk the VMEM top tree once per packet and record, PER LANE, every
-    treelet whose bounds that lane's ray enters (cf. _kernel_top which
-    records one packet-level list). Top-tile meta: col6 > 0 interior id;
-    col6 == 0 empty; col6 < 0 treelet ref with tid = col7."""
+    treelet whose bounds that lane's ray enters. Top-tile meta: col6 > 0
+    interior id; col6 == 0 empty; col6 < 0 treelet ref with tid = col7."""
     ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
     ix, iy, iz = ix_ref[0], iy_ref[0], iz_ref[0]
     tmax = tmax_ref[0]
@@ -157,7 +166,7 @@ def _bin_rays(top_tiles, ox, oy, oz, ix, iy, iz, tmax,
     return tid, tn, ovf.reshape(n)
 
 
-# ------------------------- round kernel: chunk walk --------------------------
+# ------------------------- chunk-walk kernel --------------------------------
 
 
 def _kernel_chunk(seg_tid_ref, seg_start_ref, seg_end_ref,
@@ -300,13 +309,13 @@ def _walk_chunks(seg_tid, seg_start, seg_end, tl_nodes, tl_prims,
 
 def intersect_packets_requeue(ds, st, o, d, tmax, any_hit=False,
                               interpret=False, with_stats=True,
-                              r_list=R_LIST, rounds=None, segs=SEGS):
-    """Drop-in two-level traversal with treelet-major re-queueing. Same
-    (Hit, TraversalStats) contract as intersect_packets_streamed. Rounds
-    run under a lax.while_loop that exits as soon as no ray has a live
-    (un-culled, unvisited) treelet left, so converged waves cost nothing;
-    `rounds` (default r_list + 4) only caps pathological segment deferral,
-    with the remainder surfaced in stats.truncated."""
+                              r_list=R_LIST, segs=SEGS, wave0=WAVE0):
+    """Drop-in two-level traversal with treelet-major pair re-grouping.
+    Same (Hit, TraversalStats) contract as intersect_packets_streamed;
+    rays whose phase-1 list overflows take their result from the streamed
+    fallback, so the result is exact for every ray (stats.truncated counts
+    only pairs deferred past the final pass, which would need a chunk with
+    > SEGS distinct treelets twice in a row)."""
     from tpupt.accel.traverse import Hit, TraversalStats
     from tpupt.core.vecmath import ray_inv_d
     from tpupt.shapes.triangle import ray_permutation
@@ -321,7 +330,6 @@ def intersect_packets_requeue(ds, st, o, d, tmax, any_hit=False,
         tmax = jnp.concatenate([tmax, jnp.zeros(n_pad)])
     n = o.shape[0]
     npk = n // PACK
-    nch = npk  # one-pair-per-ray rounds: chunks == packets
 
     kx, ky, kz, sx, sy, sz = ray_permutation(d)
     inv_d = ray_inv_d(d)
@@ -339,41 +347,56 @@ def intersect_packets_requeue(ds, st, o, d, tmax, any_hit=False,
     octant = ((d[:, 0] < 0).astype(i32) + 2 * (d[:, 1] < 0).astype(i32)
               + 4 * (d[:, 2] < 0).astype(i32))
     sent = i32(st.n_treelets) * 8 + 8  # sort-key sentinel: "no work"
-    lane_in_chunk = jnp.tile(jnp.arange(PACK, dtype=i32), nch)
-    rows_idx = jnp.repeat(jnp.arange(nch, dtype=i32), PACK).reshape(nch, PACK)
-    arange_n = jnp.arange(n, dtype=i32)
 
-    if rounds is None:
-        rounds = r_list + 4
+    ray_fields = (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+                  inv_d[:, 0], inv_d[:, 1], inv_d[:, 2])
+    perm_fields = (kx, ky, kz, sx, sy, sz)
 
-    def _cursor_state(cursor, t_best):
-        cur = jnp.minimum(cursor, r_list - 1)
-        tid_c = jnp.take_along_axis(tid_l, cur[:, None], 1)[:, 0]
-        tn_c = jnp.take_along_axis(tn_l, cur[:, None], 1)[:, 0]
-        live = (cursor < r_list) & (tid_c >= 0) & (tn_c < t_best)
-        return tid_c, live
+    zf = jnp.zeros(n, jnp.float32)
+    zi = jnp.zeros(n, i32)
+    t_best = jnp.asarray(tmax, jnp.float32)
+    gid = jnp.full(n, -1, i32)
+    b1, b2 = zf, zf
+    nv_acc, nl_acc, nt_acc = zi, zi, zi
+    processed = jnp.zeros((n, r_list), jnp.bool_)
+    slot_idx = jnp.arange(r_list, dtype=i32)[None, :]
 
-    def round_cond(s):
-        i, t_best, gid, b1, b2, cursor, nv, nl, nt = s
-        _, live = _cursor_state(cursor, t_best)
-        return jnp.any(live) & (i < rounds)
+    def run_pass(state, slot_limit):
+        """Walk every live (ray, slot<slot_limit) pair grouped by treelet."""
+        t_best, gid, b1, b2, processed, nv_acc, nl_acc, nt_acc = state
+        cull = tn_l < t_best[:, None]
+        live = (~processed) & (tid_l >= 0) & cull & (slot_idx < slot_limit)
+        if any_hit:
+            live = live & (gid < 0)[:, None]
 
-    def round_body(s):
-        i, t_best, gid, b1, b2, cursor, nv_acc, nl_acc, nt_acc = s
-        tid_c, live = _cursor_state(cursor, t_best)
-        key = jnp.where(live, tid_c * 8 + octant, sent)
+        p_total = n * r_list
+        rid = jnp.repeat(jnp.arange(n, dtype=i32)[:, None], r_list, 1) \
+            .reshape(p_total)
+        p_tid = tid_l.reshape(p_total)
+        p_live = live.reshape(p_total)
+        key = jnp.where(p_live, p_tid * 8 + octant[rid], sent)
         perm = jnp.argsort(key)
-        inv = jnp.zeros(n, i32).at[perm].set(arange_n)
+        key_s = key[perm]
+        rid_s = rid[perm]
 
-        stile = jnp.where(key[perm] < sent, key[perm] >> 3, -1) \
-            .reshape(nch, PACK)
+        n_pairs_pad = (-p_total) % PACK
+        if n_pairs_pad:
+            key_s = jnp.concatenate(
+                [key_s, jnp.full(n_pairs_pad, sent, i32)])
+            rid_s = jnp.concatenate([rid_s, jnp.zeros(n_pairs_pad, i32)])
+        p_pad = key_s.shape[0]
+        nch = p_pad // PACK
+
+        stile = jnp.where(key_s < sent, key_s >> 3, -1).reshape(nch, PACK)
         prev = jnp.concatenate(
             [jnp.full((nch, 1), -2, i32), stile[:, :-1]], 1)
         newseg = stile != prev
         seg_id = jnp.cumsum(newseg.astype(i32), 1) - 1
         in_cap = (seg_id < segs) & (stile >= 0)
         sc = jnp.minimum(seg_id, segs - 1)
-        lane2 = lane_in_chunk.reshape(nch, PACK)
+        lane2 = jnp.tile(jnp.arange(PACK, dtype=i32), nch).reshape(nch, PACK)
+        rows_idx = jnp.repeat(jnp.arange(nch, dtype=i32), PACK) \
+            .reshape(nch, PACK)
         seg_tid = jnp.full((nch, segs), -1, i32).at[rows_idx, sc].max(
             jnp.where(in_cap, stile, -1))
         seg_start = jnp.full((nch, segs), PACK, i32).at[rows_idx, sc].min(
@@ -382,50 +405,88 @@ def intersect_packets_requeue(ds, st, o, d, tmax, any_hit=False,
             jnp.where(in_cap, lane2 + 1, 0))
 
         def g(x, dtype=jnp.float32):
-            return x[perm].astype(dtype).reshape(nch, ROWS, 128)
+            v = x[rid_s]
+            return v.astype(dtype).reshape(nch, ROWS, 128)
 
+        fo = [g(f) for f in ray_fields]
+        fp = [g(kx, i32), g(ky, i32), g(kz, i32), g(sx), g(sy), g(sz)]
         t_o, gid_o, b1_o, b2_o, nv, nl, nt = _walk_chunks(
             seg_tid, seg_start, seg_end, ds.tl_nodes, ds.tl_prims,
-            g(o[:, 0]), g(o[:, 1]), g(o[:, 2]),
-            g(d[:, 0]), g(d[:, 1]), g(d[:, 2]),
-            g(inv_d[:, 0]), g(inv_d[:, 1]), g(inv_d[:, 2]),
-            g(kx, i32), g(ky, i32), g(kz, i32),
-            g(sx), g(sy), g(sz), g(t_best),
+            *fo[:9], *fp, g(t_best),
             tn=st.tl_tn, tp=st.tl_tp, max_leaf=st.max_leaf, any_hit=any_hit,
             has_spheres=st.n_spheres > 0, segs=segs, interpret=interpret,
             with_stats=with_stats)
 
-        t_n = t_o.reshape(-1)[inv]
-        gid_n = gid_o.reshape(-1)[inv]
-        win = (gid_n >= 0) & (t_n < t_best)
-        t_best = jnp.where(win, t_n, t_best)
-        gid = jnp.where(win, gid_n, gid)
-        b1 = jnp.where(win, b1_o.reshape(-1)[inv], b1)
-        b2 = jnp.where(win, b2_o.reshape(-1)[inv], b2)
-        if any_hit:
-            # park occluded rays: every remaining treelet fails tn < -1
-            t_best = jnp.where(gid >= 0, -1.0, t_best)
+        # ---- scatter-combine pair results back to rays ----
+        t_p = t_o.reshape(-1)
+        gid_p = gid_o.reshape(-1)
+        hit_p = gid_p >= 0
+        win_t = jnp.full(n, _BIG).at[rid_s].min(
+            jnp.where(hit_p, t_p, _BIG))
+        improve = win_t < t_best
+        # winner pair = lowest pair index among exact-t matches (exact
+        # equality holds: win_t is a copy of some t_p)
+        is_win = hit_p & (t_p == win_t[rid_s]) & improve[rid_s]
+        widx = jnp.full(n, p_pad, i32).at[rid_s].min(
+            jnp.where(is_win, jnp.arange(p_pad, dtype=i32), p_pad))
+        wclip = jnp.minimum(widx, p_pad - 1)
+        t_best = jnp.where(improve, win_t, t_best)
+        gid = jnp.where(improve, gid_p[wclip], gid)
+        b1 = jnp.where(improve, b1_o.reshape(-1)[wclip], b1)
+        b2 = jnp.where(improve, b2_o.reshape(-1)[wclip], b2)
         if with_stats:
-            nv_acc = nv_acc + nv.reshape(-1)[inv]
-            nl_acc = nl_acc + nl.reshape(-1)[inv]
-            nt_acc = nt_acc + nt.reshape(-1)[inv]
-        processed = in_cap.reshape(-1)[inv] & live
-        cursor = cursor + processed.astype(i32)
-        return i + 1, t_best, gid, b1, b2, cursor, nv_acc, nl_acc, nt_acc
+            # chunk counters are packet-scalar; a ray takes the MAX over
+            # the chunks it appeared in (same packet-approximate semantics
+            # as the single-level kernel)
+            nv_acc = jnp.maximum(nv_acc, zi.at[rid_s].max(nv.reshape(-1)))
+            nl_acc = jnp.maximum(nl_acc, zi.at[rid_s].max(nl.reshape(-1)))
+            nt_acc = jnp.maximum(nt_acc, zi.at[rid_s].max(nt.reshape(-1)))
 
-    zf = jnp.zeros(n, jnp.float32)
-    zi = jnp.zeros(n, i32)
-    (_, t_best, gid, b1, b2, cursor, nv_acc, nl_acc, nt_acc) = \
-        jax.lax.while_loop(round_cond, round_body,
-                           (jnp.int32(0), jnp.asarray(tmax, jnp.float32),
-                            jnp.full(n, -1, i32), zf, zf, zi, zi, zi, zi))
+        inv_perm = jnp.zeros(p_total, i32).at[perm].set(
+            jnp.arange(p_total, dtype=i32))
+        walked = p_live & in_cap.reshape(-1)[inv_perm]
+        processed = processed | walked.reshape(n, r_list)
+        return (t_best, gid, b1, b2, processed, nv_acc, nl_acc, nt_acc)
 
-    # leftovers after ROUNDS rounds = possible missed hits, counted
-    slot = jnp.arange(r_list, dtype=i32)[None, :]
-    rem = ((slot >= cursor[:, None]) & (tid_l >= 0)
-           & (tn_l < t_best[:, None])).sum(1).astype(i32)
-    trunc = (rem + ovf)[:n0]
+    state = (t_best, gid, b1, b2, processed, nv_acc, nl_acc, nt_acc)
+    state = run_pass(state, wave0)      # nearest treelets -> cull t
+    state = run_pass(state, r_list)     # the culled remainder
+    state = run_pass(state, r_list)     # capacity-deferred leftovers
+    t_best, gid, b1, b2, processed, nv_acc, nl_acc, nt_acc = state
 
+    # honest leftovers: live pairs after the final pass
+    cull = tn_l < t_best[:, None]
+    rem = ((~processed) & (tid_l >= 0) & cull).sum(1).astype(i32)
+
+    # ---- exact fallback for phase-1 list overflow ----
+    need_fb = ovf > 0
+    if any_hit:
+        need_fb = need_fb & (gid < 0)
+    fb_cnt = need_fb.astype(i32)
+
+    def with_fallback(args):
+        from tpupt.ops.traverse_stream import intersect_packets_streamed
+
+        t_best, gid, b1, b2 = args
+        hit_fb, _ = intersect_packets_streamed(
+            ds, st, o, d, jnp.where(need_fb, tmax, 0.0),
+            any_hit=any_hit, interpret=interpret, with_stats=False)
+        t_best = jnp.where(need_fb, hit_fb.t, t_best)
+        gid = jnp.where(need_fb, hit_fb.prim, gid)
+        b1 = jnp.where(need_fb, hit_fb.b1, b1)
+        b2 = jnp.where(need_fb, hit_fb.b2, b2)
+        return t_best, gid, b1, b2
+
+    if interpret:
+        # interpret mode runs eagerly, so the overflow test is concrete
+        if bool(jnp.any(need_fb)):
+            t_best, gid, b1, b2 = with_fallback((t_best, gid, b1, b2))
+    else:
+        t_best, gid, b1, b2 = jax.lax.cond(
+            jnp.any(need_fb), with_fallback, lambda a: a,
+            (t_best, gid, b1, b2))
+
+    trunc = jnp.where(need_fb, 0, rem)[:n0]
     t = t_best[:n0]
     gid = gid[:n0]
     b1 = b1[:n0]
