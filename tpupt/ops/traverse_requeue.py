@@ -107,10 +107,14 @@ def _kernel_top_perlane(nodes_ref,
                                             jnp.maximum(t1y, t2y)),
                                 jnp.maximum(t1z, t2z)) * 1.0000004
             hit = (t_near <= t_far) & (t_far > 0.0) & (t_near < tmax)
-            any_c = jnp.any(hit)
             m6 = nodes_ref[node, c, 6]
             m7 = nodes_ref[node, c, 7]
-            is_tl = m6 <= 0.0  # empties never pass the slab test
+            # empty slots (col6 == 0, inverted inf/-inf bounds) DO pass the
+            # symmetrized slab test, so they must be gated out explicitly —
+            # otherwise every lane burns one R_LIST slot per empty slot and
+            # overflows into the streamed fallback
+            any_c = jnp.any(hit) & (m6 != 0.0)
+            is_tl = m6 < 0.0
 
             @pl.when(any_c & is_tl)
             def _():
@@ -435,12 +439,13 @@ def intersect_packets_requeue(ds, st, o, d, tmax, any_hit=False,
         b1 = jnp.where(improve, b1_o.reshape(-1)[wclip], b1)
         b2 = jnp.where(improve, b2_o.reshape(-1)[wclip], b2)
         if with_stats:
-            # chunk counters are packet-scalar; a ray takes the MAX over
-            # the chunks it appeared in (same packet-approximate semantics
-            # as the single-level kernel)
-            nv_acc = jnp.maximum(nv_acc, zi.at[rid_s].max(nv.reshape(-1)))
-            nl_acc = jnp.maximum(nl_acc, zi.at[rid_s].max(nl.reshape(-1)))
-            nt_acc = jnp.maximum(nt_acc, zi.at[rid_s].max(nt.reshape(-1)))
+            # chunk counters are packet-scalar; within a pass a ray takes
+            # the MAX over the chunks its pairs appeared in (packet-
+            # approximate, like the single-level kernel), and passes SUM so
+            # per-ray totals stay additive like the streamed kernel's
+            nv_acc = nv_acc + zi.at[rid_s].max(nv.reshape(-1))
+            nl_acc = nl_acc + zi.at[rid_s].max(nl.reshape(-1))
+            nt_acc = nt_acc + zi.at[rid_s].max(nt.reshape(-1))
 
         inv_perm = jnp.zeros(p_total, i32).at[perm].set(
             jnp.arange(p_total, dtype=i32))
@@ -454,15 +459,17 @@ def intersect_packets_requeue(ds, st, o, d, tmax, any_hit=False,
     state = run_pass(state, r_list)     # capacity-deferred leftovers
     t_best, gid, b1, b2, processed, nv_acc, nl_acc, nt_acc = state
 
-    # honest leftovers: live pairs after the final pass
+    # honest leftovers: live pairs after the final pass ("possible missed
+    # hit"); a definitively occluded any-hit ray has none by definition
     cull = tn_l < t_best[:, None]
     rem = ((~processed) & (tid_l >= 0) & cull).sum(1).astype(i32)
+    if any_hit:
+        rem = jnp.where(gid >= 0, 0, rem)
 
     # ---- exact fallback for phase-1 list overflow ----
     need_fb = ovf > 0
     if any_hit:
         need_fb = need_fb & (gid < 0)
-    fb_cnt = need_fb.astype(i32)
 
     def with_fallback(args):
         from tpupt.ops.traverse_stream import intersect_packets_streamed

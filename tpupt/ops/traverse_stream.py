@@ -142,10 +142,14 @@ def _kernel_unified(top_ref, nodes_hbm, prims_hbm,
                                     jnp.maximum(t1z, t2z)) * 1.0000004
                 # live cull: t_ref already holds hits from drained treelets
                 hit = (t_near <= t_far) & (t_far > 0.0) & (t_near < t_ref[0])
-                any_c = jnp.any(hit)
-                tn_c = jnp.min(jnp.where(hit, jnp.maximum(t_near, 0.0), _BIG))
                 m6 = top_ref[node, c, 6]
                 m7 = top_ref[node, c, 7]
+                # explicit empty-slot gate: an inverted (inf/-inf) box PASSES
+                # the symmetrized slab test (min/max turns it into
+                # [-inf, +inf]), so col6 == 0 must be rejected here or every
+                # packet walks treelet 0 once per empty slot
+                any_c = jnp.any(hit) & (m6 != 0.0)
+                tn_c = jnp.min(jnp.where(hit, jnp.maximum(t_near, 0.0), _BIG))
                 meta = jnp.where(m6 > 0.0, m6.astype(jnp.int32),
                                  -(m7.astype(jnp.int32)) - 1)
 
