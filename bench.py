@@ -32,18 +32,28 @@ SCENE = "/root/reference/scenes/killeroo-simple"
 RES = 704  # 700 rounded to the wavefront batch granularity
 
 
-def _steady(fn, reps=3, inner=1):
-    """Best-of-reps steady-state seconds per inner call (the TPU arrives
-    through a shared tunnel — single-shot timings carry scheduling noise)."""
-    import jax
+def _fetch(x):
+    """Force EXECUTION, not just dispatch. On the axon PJRT tunnel
+    jax.block_until_ready returns before the computation runs (execution
+    is deferred until a value is actually fetched), so every timing here
+    must round-trip a real value — rounds 1-3 timed dispatch only and
+    overstated throughput by ~1000x."""
+    import jax.numpy as jnp
 
+    return float(jnp.sum(x))
+
+
+def _steady(fn, reps=3, inner=1):
+    """Best-of-reps steady-state seconds per inner call, fetch-synced (the
+    TPU arrives through a shared tunnel — single-shot timings carry
+    scheduling noise, and the first fetch pays the AOT compile)."""
     best = 1e30
     for _ in range(reps):
         t0 = time.time()
         out = None
         for _ in range(inner):
             out = fn()
-        jax.block_until_ready(out)
+        _fetch(out)
         best = min(best, (time.time() - t0) / inner)
     return best
 
@@ -70,8 +80,8 @@ def bench_killeroo():
                                     r.px[sl], r.py[sl], r.valid[sl])
         return state["film"].rgb
 
-    one_spp()  # compile
-    dt = _steady(one_spp, reps=3, inner=2)
+    _fetch(one_spp())  # compile + first execution
+    dt = _steady(one_spp, reps=2, inner=1)
     fwd = RES * RES / dt
 
     # ---- fwd+bwd: value_and_grad of the render w.r.t. material/light ----
@@ -104,13 +114,13 @@ def bench_killeroo():
         params = {"mat_kd": ds0.mat_kd, "mat_ks": ds0.mat_ks,
                   "mat_roughness": ds0.mat_roughness, "light_L": ds0.light_L}
         step = jax.jit(jax.value_and_grad(loss))
-        step(params)  # compile
 
         def one_grad():
             v, g = step(params)
             return g["mat_kd"]
 
-        dt_g = _steady(one_grad, reps=3, inner=2)
+        _fetch(one_grad())  # compile + first execution
+        dt_g = _steady(one_grad, reps=2, inner=1)
         fwd_bwd = r.batch / dt_g
     except Exception as e:
         fwd_bwd = 0.0
@@ -135,7 +145,7 @@ def bench_kdtree():
     scene = with_resolution(
         flatten(parse_file(SCENE), os.path.dirname(SCENE)), RES, RES)
     scene.accelerator_name = "kdtree"
-    r = Renderer(scene)
+    r = Renderer(scene, collect_stats=True)
     film = new_film(RES, RES)
     state = {"film": film}
 
@@ -146,7 +156,7 @@ def bench_kdtree():
                                     r.px[sl], r.py[sl], r.valid[sl])
         return state["film"].rgb
 
-    one_spp()  # compile
+    _fetch(one_spp())  # compile + first execution
     dt = _steady(one_spp, reps=2, inner=1)
     aov = np.asarray(state["film"].aov)
     spp_done = 3.0  # compile + 2 timed reps accumulated into the film
@@ -181,8 +191,8 @@ def bench_museum():
                                     r.px[sl], r.py[sl], r.valid[sl])
         return state["film"].rgb
 
-    one_spp()  # compile
-    dt = _steady(one_spp, reps=3, inner=1)
+    _fetch(one_spp())  # compile + first execution
+    dt = _steady(one_spp, reps=2, inner=1)
     return scene.film.xres * scene.film.yres / dt, scene.triangles.count
 
 

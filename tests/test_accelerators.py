@@ -187,3 +187,44 @@ def test_kdbsp_traversal_matches_bvh(accel, ndirs):
     occ, _ = intersect_kdbsp(nodes, dirs, ds, st, o, d, tmax, max_leaf,
                              any_hit=True)
     assert (np.array(occ.valid) == v1).all()
+
+
+# ------------------ Pallas packet kd/BSP kernel (interpret) -----------------
+
+
+@pytest.mark.parametrize("accel,ndirs", [
+    ("kdtree", None), ("rbsp", 7), ("bspcluster", 3), ("bsppaper", None),
+])
+def test_kdbsp_packets_match_xla(accel, ndirs):
+    """ops/traverse_kdbsp.py packet kernel == the XLA lockstep walker on
+    closest-hit AND any-hit, for kd, RBSP and per-node-direction BSP trees
+    (the packed node rows carry explicit directions for all three)."""
+    from tpupt.ops.traverse_kdbsp import intersect_kdbsp_packets
+
+    sc = flatten(parse_string(_SCENE))
+    ds, st = upload(sc)
+    ps = ParamSet()
+    if ndirs:
+        ps.add("integer nbDirections", [ndirs])
+    nodes, dirs, max_leaf, stats = build_alt_accel(sc, accel, ps)
+    ds = ds._replace(alt_pack=nodes["pack"],
+                     alt_prim_rows=nodes["prim_rows"])
+    o, d = _camera_rays(sc, ds)
+    # mix in incoherent rays: reversed directions from scattered origins
+    o2 = jnp.concatenate([o, o[::-1] * 0.3 + 0.2])
+    d2 = jnp.concatenate([d, -d[::-1]])
+    tmax = jnp.full(o2.shape[0], jnp.inf)
+    h_ref, _ = intersect_kdbsp(nodes, dirs, ds, st, o2, d2, tmax, max_leaf)
+    h, s = intersect_kdbsp_packets(ds, st, o2, d2, tmax, interpret=True,
+                                   with_stats=True)
+    v1, v2 = np.array(h_ref.valid), np.array(h.valid)
+    assert (v1 == v2).all()
+    m = v1 & v2
+    assert (np.array(h_ref.prim)[m] == np.array(h.prim)[m]).all()
+    np.testing.assert_allclose(np.array(h_ref.t)[m], np.array(h.t)[m],
+                               rtol=1e-3)
+    assert int(np.asarray(s.node_visits).sum()) > 0
+    # any-hit agreement
+    h_any, _ = intersect_kdbsp_packets(ds, st, o2, d2, tmax, any_hit=True,
+                                       interpret=True)
+    assert (np.array(h_any.valid) == v1).all()

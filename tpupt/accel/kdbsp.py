@@ -83,6 +83,75 @@ def scene_prim_points(scene, lo, hi):
     return pts, npts, normals
 
 
+def pack_kdbsp_nodes(nodes, dirs):
+    """Packed tables for the Pallas packet kernel (ops/traverse_kdbsp.py):
+
+      pack  (K, 1, 8) f32 — [dir.xyz, split, is_leaf, above|first, count, 0]
+      prim_rows4 / prim_ids4 / above4 — leaf prim runs re-packed with
+      4-aligned starts (the kernel DMAs 4-row = 16-prim chunks whose lane
+      offsets must be static), shared with the XLA fallback so both
+      backends read one table.
+
+    kd/RBSP trees carry a direction INDEX in flags (== n_dirs for leaves,
+    genericBSP.h node encoding); unrestricted BSP carries flags 0/1 and a
+    per-node direction. Both reduce to an explicit per-node direction
+    here — the kernel's plane distance is a 6-flop dot either way."""
+    import numpy as np
+
+    flags = np.asarray(nodes["flags"])
+    split = np.asarray(nodes["split"], np.float32)
+    above = np.asarray(nodes["above"]).copy()
+    nprims = np.asarray(nodes["nprims"])
+    prim_rows = np.asarray(nodes["prim_rows"], np.float32)
+    prim_ids = np.asarray(nodes["prim_ids"])
+    dirs = np.asarray(dirs, np.float32)
+    per_node = "ndir" in nodes
+    k = len(flags)
+    if per_node:
+        is_leaf = flags == 1
+        ndir = np.asarray(nodes["ndir"], np.float32)
+    else:
+        is_leaf = flags >= len(dirs)
+        ndir = dirs[np.minimum(flags, len(dirs) - 1)]
+
+    # 4-align leaf prim runs (stable order; pad rows repeat the run's last
+    # row so over-reads inside a chunk are harmless garbage-tests)
+    leaf_idx = np.flatnonzero(is_leaf & (nprims > 0))
+    order = leaf_idx[np.argsort(above[leaf_idx], kind="stable")]
+    starts4 = np.zeros(k, np.int64)
+    cur = 0
+    chunks_r, chunks_i = [], []
+    for i in order:
+        f, c = int(above[i]), int(nprims[i])
+        starts4[i] = cur
+        chunks_r.append(prim_rows[f: f + c])
+        chunks_i.append(prim_ids[f: f + c])
+        pad = (-c) % 4
+        if pad:
+            chunks_r.append(np.repeat(prim_rows[f + c - 1: f + c], pad, 0))
+            chunks_i.append(np.repeat(prim_ids[f + c - 1: f + c], pad, 0))
+        cur += c + pad
+    # tail slack: the kernel's last 16-prim chunk may DMA up to 15 rows
+    # past a run's end (tests are masked but the copy must stay in bounds),
+    # plus round the table to a multiple of 4 for the (P/4, 128) reshape
+    total_pad = ((-cur) % 4) + 16
+    chunks_r.append(np.zeros((total_pad, prim_rows.shape[1]), np.float32))
+    chunks_i.append(np.full(total_pad, -1, prim_ids.dtype))
+    prim_rows4 = np.concatenate(chunks_r)
+    prim_ids4 = np.concatenate(chunks_i)
+    above4 = np.where(is_leaf, starts4, above).astype(np.int32)
+
+    pack = np.zeros((k, 1, 8), np.float32)
+    pack[:, 0, 0:3] = ndir
+    pack[:, 0, 3] = split
+    pack[:, 0, 4] = is_leaf.astype(np.float32)
+    pack[:, 0, 5] = above4.astype(np.float32)
+    pack[:, 0, 6] = nprims.astype(np.float32)
+    assert k < (1 << 24) and len(prim_rows4) < (1 << 24), \
+        "node/prim ids must stay exact in f32"
+    return pack, prim_rows4, prim_ids4, above4
+
+
 def build_alt_accel(scene, name: str, params=None):
     """MakeAccelerator counterpart for the kd/BSP family (api.cpp:790-1016):
     build the requested tree with the native builders and return the flat
@@ -130,14 +199,21 @@ def build_alt_accel(scene, name: str, params=None):
                         empty_bonus=ebonus, max_prims=maxp, max_depth=maxd)
         prim_rows = pack_prim_rows(scene, out["prim_ids"])
         max_leaf = int(out["nprims"].max()) if len(out["nprims"]) else 1
+        raw = dict(flags=out["flags"], split=out["split"],
+                   above=out["above"], nprims=out["nprims"],
+                   prim_ids=out["prim_ids"], prim_rows=prim_rows,
+                   ndir=out["ndir"])
+        pack, prim_rows4, prim_ids4, above4 = pack_kdbsp_nodes(
+            raw, np.eye(3, dtype=np.float32))
         nodes = dict(
             flags=jnp.asarray(out["flags"]),
             split=jnp.asarray(out["split"]),
-            above=jnp.asarray(out["above"]),
+            above=jnp.asarray(above4),
             nprims=jnp.asarray(out["nprims"]),
-            prim_ids=jnp.asarray(out["prim_ids"]),
-            prim_rows=jnp.asarray(prim_rows),
+            prim_ids=jnp.asarray(prim_ids4),
+            prim_rows=jnp.asarray(prim_rows4),
             ndir=jnp.asarray(out["ndir"]),
+            pack=jnp.asarray(pack),
         )
         stats = dict(n_nodes=out["n_nodes"],
                      build_seconds=out["build_seconds"], max_leaf=max_leaf,
@@ -175,13 +251,19 @@ def build_alt_accel(scene, name: str, params=None):
 
     prim_rows = pack_prim_rows(scene, out["prim_ids"])
     max_leaf = int(out["nprims"].max()) if len(out["nprims"]) else 1
+    raw = dict(flags=out["flags"], split=out["split"], above=out["above"],
+               nprims=out["nprims"], prim_ids=out["prim_ids"],
+               prim_rows=prim_rows)
+    pack, prim_rows4, prim_ids4, above4 = pack_kdbsp_nodes(
+        raw, dirs.astype(np.float32))
     nodes = dict(
         flags=jnp.asarray(out["flags"]),
         split=jnp.asarray(out["split"]),
-        above=jnp.asarray(out["above"]),
+        above=jnp.asarray(above4),
         nprims=jnp.asarray(out["nprims"]),
-        prim_ids=jnp.asarray(out["prim_ids"]),
-        prim_rows=jnp.asarray(prim_rows),
+        prim_ids=jnp.asarray(prim_ids4),
+        prim_rows=jnp.asarray(prim_rows4),
+        pack=jnp.asarray(pack),
     )
     stats = dict(n_nodes=out["n_nodes"], build_seconds=out["build_seconds"],
                  max_leaf=max_leaf, n_leaves=int((out["flags"] >= len(dirs)).sum()))
@@ -324,7 +406,6 @@ def intersect_kdbsp(nodes, dirs, ds, st, o, d, tmax, max_leaf: int,
     above = nodes["above"]
     nprims = nodes["nprims"]
     first = nodes["above"]  # for leaves, 'above' holds the prim offset
-    prim_ids = nodes["prim_ids"]
     prim_rows = nodes["prim_rows"]
     n_rows = prim_rows.shape[0]
 

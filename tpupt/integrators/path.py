@@ -717,19 +717,52 @@ class Renderer:
                 scene, accel, scene.accelerator_params)
             self.accel_stats = {"kind": accel, **astats}
             self.accel_nodes, self.accel_dirs = nodes, dirs
-            ds_, st_ = self.ds, self.st
+            per_node = "ndir" in nodes
+            # thread the tables through ds (a jit ARGUMENT): closure-
+            # captured tables become HLO literals whose lowering takes
+            # minutes at killeroo scale on TPU (see DeviceScene.alt_*)
+            self.ds = self.ds._replace(
+                alt_flags=nodes["flags"], alt_split=nodes["split"],
+                alt_above=nodes["above"], alt_nprims=nodes["nprims"],
+                alt_prim_rows=nodes["prim_rows"],
+                alt_ndir=nodes.get("ndir"), alt_dirs=jnp.asarray(dirs),
+                alt_pack=nodes["pack"])
 
-            def isect(ds, st, o, d, tmax, any_hit=False, **kw):
-                # kd/BSP trees are built over shutter-union bounds but test
-                # static mid-shutter prims; per-ray time is ignored here
-                return intersect_kdbsp(nodes, dirs, ds, st, o, d, tmax,
-                                       max_leaf, any_hit=any_hit)
+            from tpupt.ops.traverse_kdbsp import (intersect_kdbsp_packets,
+                                                  kdbsp_vmem_ok)
 
-            def isect_p(ds, st, o, d, tmax, **kw):
-                hit, stats = isect(ds, st, o, d, tmax, any_hit=True)
-                return hit.valid, stats
+            on_tpu = jax.default_backend() in ("tpu", "axon")
+            if on_tpu and kdbsp_vmem_ok(nodes["pack"].shape[0]):
+                # Pallas packet walker (ops/traverse_kdbsp.py) — the XLA
+                # lockstep walker runs ~100x slower on incoherent bounces
+                def isect(ds, st, o, d, tmax, any_hit=False, **kw):
+                    return intersect_kdbsp_packets(
+                        ds, st, o, d, tmax, any_hit=any_hit,
+                        with_stats=collect_stats)
 
-            self._isect, self._isect_p = isect, isect_p
+                def isect_p(ds, st, o, d, tmax, **kw):
+                    hit, stats = isect(ds, st, o, d, tmax, any_hit=True)
+                    return hit.valid, stats
+
+                self._isect, self._isect_p = make_sorted_isect(isect,
+                                                               isect_p)
+            else:
+                def isect(ds, st, o, d, tmax, any_hit=False, **kw):
+                    # kd/BSP trees are built over shutter-union bounds but
+                    # test static mid-shutter prims; time is ignored here
+                    nd = {"flags": ds.alt_flags, "split": ds.alt_split,
+                          "above": ds.alt_above, "nprims": ds.alt_nprims,
+                          "prim_rows": ds.alt_prim_rows}
+                    if per_node:
+                        nd["ndir"] = ds.alt_ndir
+                    return intersect_kdbsp(nd, ds.alt_dirs, ds, st, o, d,
+                                           tmax, max_leaf, any_hit=any_hit)
+
+                def isect_p(ds, st, o, d, tmax, **kw):
+                    hit, stats = isect(ds, st, o, d, tmax, any_hit=True)
+                    return hit.valid, stats
+
+                self._isect, self._isect_p = isect, isect_p
 
         max_depth = scene.integrator.max_depth
         rr_threshold = scene.integrator.rr_threshold

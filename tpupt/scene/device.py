@@ -157,6 +157,19 @@ class DeviceScene(NamedTuple):
     prim_rows_dt: jnp.ndarray = None  # (P,9) leaf-order vertex deltas
     cam_q: jnp.ndarray = None         # (2,4) camera rotation keys (quat)
     cam_tr: jnp.ndarray = None        # (2,3) camera translation keys
+    # thesis kd/RBSP/BSP accelerator tables (accel/kdbsp.py). These MUST be
+    # jit arguments, not closure constants: closure-captured tables are
+    # baked into the HLO as literals, and lowering a ~30 MB literal takes
+    # minutes on the TPU backend (the round-3 "kdtree crash" was the bench
+    # watchdog killing that lowering). None for BVH scenes.
+    alt_flags: jnp.ndarray = None     # (K,) i32 node flags
+    alt_split: jnp.ndarray = None     # (K,) f32 split offsets
+    alt_above: jnp.ndarray = None     # (K,) i32 above-child / prim offset
+    alt_nprims: jnp.ndarray = None    # (K,) i32 leaf prim counts
+    alt_prim_rows: jnp.ndarray = None  # (P,32) f32 leaf-order packed prims
+    alt_ndir: jnp.ndarray = None      # (K,3) per-node split dirs (BSP only)
+    alt_dirs: jnp.ndarray = None      # (D,3) shared direction table
+    alt_pack: jnp.ndarray = None      # (K,1,8) packed rows (Pallas kernel)
 
 
 class SceneStatics(NamedTuple):
