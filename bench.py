@@ -74,10 +74,7 @@ def bench_killeroo():
     state = {"film": film}
 
     def one_spp():
-        for k in range(r.n_batches):
-            sl = slice(k * r.batch, (k + 1) * r.batch)
-            state["film"] = r._step(state["film"], jnp.uint32(1),
-                                    r.px[sl], r.py[sl], r.valid[sl])
+        state["film"] = r._spp(state["film"], jnp.uint32(1))
         return state["film"].rgb
 
     _fetch(one_spp())  # compile + first execution
@@ -150,10 +147,7 @@ def bench_kdtree():
     state = {"film": film}
 
     def one_spp():
-        for k in range(r.n_batches):
-            sl = slice(k * r.batch, (k + 1) * r.batch)
-            state["film"] = r._step(state["film"], jnp.uint32(1),
-                                    r.px[sl], r.py[sl], r.valid[sl])
+        state["film"] = r._spp(state["film"], jnp.uint32(1))
         return state["film"].rgb
 
     _fetch(one_spp())  # compile + first execution
@@ -177,7 +171,11 @@ def bench_museum():
 
     out = "/tmp/tpupt_bench_scenes"
     pbrt = museum(out, grid=8, seg=128, rings=64)
-    scene = flatten(parse_file(pbrt), out)
+    from tpupt.scene.flatten import with_resolution
+
+    # 512x512 keeps the same scene/program (honest rays/s) at a quarter
+    # of the wall time per rep
+    scene = with_resolution(flatten(parse_file(pbrt), out), 512, 512)
     r = Renderer(scene)
     assert r.st.two_level, "museum must exercise the streamed traversal"
     res = scene.film.xres
@@ -185,10 +183,7 @@ def bench_museum():
     state = {"film": film}
 
     def one_spp():
-        for k in range(r.n_batches):
-            sl = slice(k * r.batch, (k + 1) * r.batch)
-            state["film"] = r._step(state["film"], jnp.uint32(1),
-                                    r.px[sl], r.py[sl], r.valid[sl])
+        state["film"] = r._spp(state["film"], jnp.uint32(1))
         return state["film"].rgb
 
     _fetch(one_spp())  # compile + first execution

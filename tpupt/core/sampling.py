@@ -72,7 +72,9 @@ def uniform_cone_pdf(cos_theta_max):
 
 def uniform_sample_cone(u1, u2, cos_theta_max):
     cos_t = (1.0 - u1) + u1 * cos_theta_max
-    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+    # floor the sqrt arg: d/dx sqrt(x) at exactly 0 is inf, which poisons
+    # reverse-mode through where-masked branches (0 * inf = NaN)
+    sin_t = jnp.sqrt(jnp.maximum(1e-20, 1.0 - cos_t * cos_t))
     phi = u2 * 2.0 * jnp.pi
     return jnp.stack([jnp.cos(phi) * sin_t, jnp.sin(phi) * sin_t, cos_t], axis=-1)
 

@@ -38,7 +38,12 @@ from tpupt.shapes.quadric import quadric_normal_uv
 from tpupt.shapes.sphere import transform_normal
 
 _RR_START = 3  # bounces before RR kicks in (path.cpp:193)
-BATCH_RAYS = 131072  # fixed wavefront batch (128 pallas packets)
+# Fixed wavefront batch (128 pallas packets of 1024 rays). Bigger batches
+# measured SLOWER on-device (495k-ray steps ran 2.2x the per-ray time of
+# 131k steps); host dispatch overhead (~0.3 s/call through the PJRT
+# tunnel) is instead amortized by scanning over batches inside one jit
+# call per sample (Renderer._spp_fn)
+BATCH_RAYS = 131072
 
 
 class ShadingPoint(NamedTuple):
@@ -232,7 +237,13 @@ def pick_traversal(st: SceneStatics, force: str = None,
                               with_stats=with_stats)
             return hit.valid, stats
 
-        return make_sorted_isect(isect, isect_p)
+        if use_stream:
+            # spatial+octant ray sort keeps each packet inside few
+            # treelets (DMA locality). For the VMEM-resident single-level
+            # kernel the sort costs more than the divergence it removes
+            # (measured: +7 ms/call sort vs ~6 ms whole traversal)
+            return make_sorted_isect(isect, isect_p)
+        return isect, isect_p
     return trav.intersect_wide, trav.intersect_p
 
 
@@ -611,9 +622,14 @@ def path_li(ds: DeviceScene, st: SceneStatics, sampler: WavefrontSampler,
         # stack-allocates the pallas traversal's FULL operands in scoped
         # VMEM (~32 MB > the 16 MB limit on v5e). Straight-line code keeps
         # the pallas calls at jit top level where operands stream from HBM.
+        # Each bounce is rematerialized (jax.checkpoint): the backward pass
+        # replays the bounce (traversal included — it is stop_gradient'd
+        # anyway) instead of storing every shading intermediate, trading
+        # ~1 extra forward for the HBM traffic of ~10^2 per-bounce
+        # residuals of (N,3) each
         out = init
         for bounce in range(max_depth + 1):
-            out = body(bounce, out)
+            out = jax.checkpoint(partial(body, bounce))(out)
     else:
         out = jax.lax.fori_loop(0, max_depth + 1, body, init)
     L_out = out.L
@@ -895,8 +911,32 @@ class Renderer:
         self._step_py = step
         self._step_fn = jax.jit(step, donate_argnums=(1,))
 
+        # whole-sample step: scan over the wavefront batches INSIDE one jit
+        # call — each host->device call through the PJRT tunnel costs
+        # ~0.3 s of dispatch overhead, so per-batch host loops dominate
+        # once the device work is fast
+        def spp_step(ds, film, sample_idx, px_all, py_all, valid_all):
+            def body(f, xs):
+                px_b, py_b, valid_b = xs
+                return step(ds, f, sample_idx, px_b, py_b, valid_b), None
+
+            film, _ = jax.lax.scan(body, film,
+                                   (px_all, py_all, valid_all))
+            return film
+
+        self._spp_fn = jax.jit(spp_step, donate_argnums=(1,))
+        nb = self.n_batches
+        self._px_b = self.px.reshape(nb, self.batch)
+        self._py_b = self.py.reshape(nb, self.batch)
+        self._valid_b = self.valid.reshape(nb, self.batch)
+
     def _step(self, film, sample_idx, px_b, py_b, valid_b):
         return self._step_fn(self.ds, film, sample_idx, px_b, py_b, valid_b)
+
+    def _spp(self, film, sample_idx):
+        """One full sample over every batch in a single device call."""
+        return self._spp_fn(self.ds, film, sample_idx, self._px_b,
+                            self._py_b, self._valid_b)
 
     def render(self, spp: int = None, film=None, verbose: bool = False):
         spp = spp or self.scene.sampler.spp
@@ -913,10 +953,7 @@ class Renderer:
 
         t0 = _time.time()
         for s in range(spp):
-            for k in range(self.n_batches):
-                sl = slice(k * b, (k + 1) * b)
-                film = self._step(film, jnp.uint32(s), self.px[sl],
-                                  self.py[sl], self.valid[sl])
+            film = self._spp(film, jnp.uint32(s))
             if verbose:
                 # progress bar + ETA (ProgressReporter, progressreporter.h:50)
                 jax.block_until_ready(film.rgb)
@@ -956,12 +993,8 @@ class Renderer:
         film, start = (self.load_checkpoint(checkpoint)
                        if checkpoint and os.path.exists(checkpoint)
                        else (filmmod.new_film(self.cfg.xres, self.cfg.yres), 0))
-        b = self.batch
         for s in range(start, spp):
-            for k in range(self.n_batches):
-                sl = slice(k * b, (k + 1) * b)
-                film = self._step(film, jnp.uint32(s), self.px[sl],
-                                  self.py[sl], self.valid[sl])
+            film = self._spp(film, jnp.uint32(s))
             if checkpoint and (s + 1) % every == 0:
                 jax.block_until_ready(film.rgb)
                 self.save_checkpoint(film, checkpoint, s + 1)

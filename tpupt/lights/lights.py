@@ -172,18 +172,22 @@ def sample_li(ds, st, light_id, p, u1, u2):
     dc2 = jnp.maximum(dot(to_c, to_c), 1e-12)
     dc = jnp.sqrt(dc2)
     inside = dc2 <= sr * sr * 1.0001
-    # cone sampling toward the sphere (sphere.cpp:232 Sample(ref,u))
-    sin2_max = jnp.clip(sr * sr / dc2, 0.0, 1.0)
-    cos_max = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_max))
+    # cone sampling toward the sphere (sphere.cpp:232 Sample(ref,u)).
+    # NaN-safe guards matter for GRADIENTS, not values: non-sphere lights
+    # still evaluate this branch on dummy geometry (sr == 0), and an
+    # unselected branch's inf/sqrt(0) forward values turn a zero cotangent
+    # into NaN in reverse mode (0 * inf)
+    sin2_max = jnp.clip(sr * sr / dc2, 0.0, 1.0 - 1e-7)
+    cos_max = jnp.sqrt(1.0 - sin2_max)
     w_axis = to_c / dc[..., None]
     local = uniform_sample_cone(u1, u2, cos_max)
     t_ax, b_ax = coordinate_system(w_axis)
     wi_sph = to_world(t_ax, b_ax, w_axis, local)
-    pdf_sph = uniform_cone_pdf(cos_max)
+    pdf_sph = uniform_cone_pdf(jnp.minimum(cos_max, 1.0 - 1e-7))
     # distance to the sampled sphere point along wi (law of cosines)
     cos_alpha = local[..., 2]
     ds_ = dc * cos_alpha - jnp.sqrt(jnp.maximum(
-        sr * sr - dc2 * (1.0 - cos_alpha * cos_alpha), 0.0))
+        sr * sr - dc2 * (1.0 - cos_alpha * cos_alpha), 1e-20))
     li_sph = lL
     # inside the sphere: fall back to uniform sphere-area sampling is rare;
     # emit zero (the reference handles it via area sampling)
@@ -232,9 +236,12 @@ def pdf_li(ds, st, p, wi, hit_prim, hit_t):
     sc, sr = _sphere_center_radius(ds, sid)
     to_c = sc - p
     dc2 = jnp.maximum(dot(to_c, to_c), 1e-12)
-    sin2_max = jnp.clip(sr * sr / dc2, 0.0, 1.0)
-    cos_max = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_max))
-    pdf_sph = uniform_cone_pdf(cos_max)
+    # same gradient-safety guards as sample_li: tri-hit lanes still
+    # evaluate this branch on dummy sphere geometry (sr == 0), where
+    # cos_max == 1 makes the cone pdf inf and 0-cotangents go NaN
+    sin2_max = jnp.clip(sr * sr / dc2, 0.0, 1.0 - 1e-7)
+    cos_max = jnp.sqrt(1.0 - sin2_max)
+    pdf_sph = uniform_cone_pdf(jnp.minimum(cos_max, 1.0 - 1e-7))
 
     return jnp.where(is_tri, pdf_tri, pdf_sph)
 

@@ -52,6 +52,12 @@ def traverse_loop(node_at, prim_at, rays, t_ref, gid_ref, b1_ref, b2_ref,
     Returns the (nodes, leaves, tests) packet counters."""
     (ox, oy, oz, dx, dy, dz, ix, iy, iz,
      kx, ky, kz, sx, sy, sz, o_kx, o_ky, o_kz) = rays
+    # FMA form of the slab test: (lo - o) * inv == lo * inv - o * inv,
+    # with o * inv hoisted out of the node loop (saves 6 vector ops per
+    # child = ~25% of interior cost)
+    oix = ox * ix
+    oiy = oy * iy
+    oiz = oz * iz
 
     def cond(state):
         return state[0] > 0
@@ -71,8 +77,12 @@ def traverse_loop(node_at, prim_at, rays, t_ref, gid_ref, b1_ref, b2_ref,
 
         def interior(sp):
             node = raw
+            t_cur = t_ref[0]
             # static-unrolled 8 children; bounds are scalar loads broadcast
-            # against the packet tile
+            # against the packet tile. (An approximate front-to-back push
+            # order via a scalar centroid-key sorting network was measured
+            # 2x SLOWER than slot order — the loop is scalar-issue-bound,
+            # so ~20 extra scalar ops per child dominate the visits saved.)
             for c in range(8):
                 lo_x = node_at(node, c, 0)
                 lo_y = node_at(node, c, 1)
@@ -80,24 +90,28 @@ def traverse_loop(node_at, prim_at, rays, t_ref, gid_ref, b1_ref, b2_ref,
                 hi_x = node_at(node, c, 3)
                 hi_y = node_at(node, c, 4)
                 hi_z = node_at(node, c, 5)
-                t1x = (lo_x - ox) * ix
-                t2x = (hi_x - ox) * ix
-                t1y = (lo_y - oy) * iy
-                t2y = (hi_y - oy) * iy
-                t1z = (lo_z - oz) * iz
-                t2z = (hi_z - oz) * iz
+                t1x = lo_x * ix - oix
+                t2x = hi_x * ix - oix
+                t1y = lo_y * iy - oiy
+                t2y = hi_y * iy - oiy
+                t1z = lo_z * iz - oiz
+                t2z = hi_z * iz - oiz
                 t_near = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
                                                  jnp.minimum(t1y, t2y)),
                                      jnp.minimum(t1z, t2z))
                 t_far = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
                                                 jnp.maximum(t1y, t2y)),
                                     jnp.maximum(t1z, t2z)) * 1.0000004
-                hit = (t_near <= t_far) & (t_far > 0.0) & (t_near < t_ref[0])
-                any_c = jnp.any(hit)
-                # float-encoded meta: >0 interior id; <0 leaf count (first in
-                # col 7); 0 empty (empty boxes are inf/-inf, never hit)
+                hit = (t_near <= t_far) & (t_far > 0.0) & (t_near < t_cur)
+                # float-encoded meta: >0 interior id; <0 leaf count (first
+                # in col 7); 0 empty. Empty slots MUST be gated explicitly:
+                # their inverted inf/-inf boxes PASS the symmetrized slab
+                # test (min/max turns them into [-inf,+inf]), and half of a
+                # typical wide tree's child slots are empty — un-gated they
+                # each cost a full masked leaf test per pop
                 m6 = node_at(node, c, 6)
                 m7 = node_at(node, c, 7)
+                any_c = jnp.any(hit) & (m6 != 0.0)
                 meta = jnp.where(
                     m6 > 0.0, m6.astype(jnp.int32),
                     -((m7.astype(jnp.int32) << 6) + (-m6).astype(jnp.int32)) - 1)
@@ -286,6 +300,11 @@ def _traverse(nodes_tiles, prim_rows,
         out_specs=[ray_spec] * 7,
         out_shape=out_shapes,
         scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            # inside the bounce fori_loop XLA stack-allocates every pallas
+            # operand (scene tables + 16 ray tiles + 7 outputs) in scoped
+            # VMEM — ~47 MB at 128 packets, over the default 16 MB budget
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(nodes_tiles, prim_rows, ox, oy, oz, dx, dy, dz, ix, iy, iz,
       kx, ky, kz, sx, sy, sz, tmax)

@@ -264,6 +264,10 @@ def _traverse_unified(top_tiles, tl_nodes, tl_prims,
             pltpu.SMEM((chunk,), jnp.float32),
             pltpu.SMEM((STACK,), jnp.int32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            # see traverse_pallas: operands are stack-allocated in scoped
+            # VMEM when the kernel sits inside the bounce fori_loop
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(top_tiles, tl_nodes, tl_prims,
       ox, oy, oz, dx, dy, dz, ix, iy, iz, kx, ky, kz, sx, sy, sz, tmax)

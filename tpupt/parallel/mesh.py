@@ -171,10 +171,15 @@ def train_step_fn(scene, mesh: Mesh, target):
 
     # every parameter table the shading chain differentiates through:
     # diffuse/specular albedo, roughness, light radiance, the environment
-    # map texels, and the texture atlas (per-texel gradients)
+    # map texels, the texture atlas (per-texel gradients), and the camera
+    # matrices (raster->camera + camera->world: pixel positions and ray
+    # directions are differentiable w.r.t. both; traversal stays detached
+    # — the detached-sampling estimator of SURVEY.md §7 step 7)
     params0 = {"mat_kd": ds.mat_kd, "mat_ks": ds.mat_ks,
                "mat_roughness": ds.mat_roughness, "light_L": ds.light_L,
-               "env_map": ds.env_map, "tex_atlas": ds.tex_atlas}
+               "env_map": ds.env_map, "tex_atlas": ds.tex_atlas,
+               "raster_to_camera": ds.raster_to_camera,
+               "cam_to_world": ds.cam_to_world}
 
     def render_L(params, sample_idx, px_b, py_b, valid_b):
         ds2 = ds._replace(**params)
