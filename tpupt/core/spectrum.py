@@ -2,9 +2,13 @@
 
 The working representation is RGB triples on the trailing axis (the reference's
 default `Spectrum = RGBSpectrum`, spectrum.h:50). A 60-bin sampled-spectrum
-path (`SampledSpectrum`, spectrum.h:289) is provided for spectral rendering;
-its CIE matching curves use the public multi-Gaussian analytic fit (Wyman,
-Sloan & Shirley 2013) rather than tabulated data.
+path (`SampledSpectrum`, spectrum.h:289) is provided for spectral rendering.
+Its CIE matching curves are the tabulated 471-sample CIE 1931 standard data
+(core/cie_data.npz, the table the reference embeds at spectrum.cpp:190-906)
+bin-averaged per AverageSpectrumSamples; the Smits RGB->spectrum tables ship
+in the same file for reference-parity promotion (rgb_refl_to_spectrum /
+rgb_illum_to_spectrum). The Wyman/Sloan/Shirley 2013 analytic fit remains as
+a fallback when the data file is absent.
 """
 
 from __future__ import annotations
@@ -70,7 +74,65 @@ def cie_xyz_fit(lam: np.ndarray):
 
 _BIN_LAMBDA = np.linspace(LAMBDA_START, LAMBDA_END, N_SPECTRAL_SAMPLES + 1)
 _BIN_CENTER = 0.5 * (_BIN_LAMBDA[:-1] + _BIN_LAMBDA[1:])
-_CIE_X, _CIE_Y, _CIE_Z = cie_xyz_fit(_BIN_CENTER)
+
+
+def average_spectrum_samples(lam: np.ndarray, val: np.ndarray,
+                             lo: float, hi: float) -> float:
+    """Mean of the piecewise-linear spectrum (lam, val) over [lo, hi] with
+    constant extension outside the sample range (core/spectrum.cpp:129
+    AverageSpectrumSamples)."""
+    if hi <= lam[0]:
+        return float(val[0])
+    if lo >= lam[-1]:
+        return float(val[-1])
+    if len(lam) == 1:
+        return float(val[0])
+    s = 0.0
+    if lo < lam[0]:
+        s += val[0] * (lam[0] - lo)
+    if hi > lam[-1]:
+        s += val[-1] * (hi - lam[-1])
+    i = int(np.searchsorted(lam, lo, side="right") - 1)
+    i = max(i, 0)
+
+    def interp(w, j):
+        t = (w - lam[j]) / (lam[j + 1] - lam[j])
+        return (1 - t) * val[j] + t * val[j + 1]
+
+    while i + 1 < len(lam) and hi >= lam[i]:
+        sl = max(lo, lam[i])
+        sh = min(hi, lam[i + 1])
+        if sh > sl:
+            s += 0.5 * (interp(sl, i) + interp(sh, i)) * (sh - sl)
+        i += 1
+    return float(s / (hi - lo))
+
+
+def _resample_to_bins(lam: np.ndarray, val: np.ndarray) -> np.ndarray:
+    return np.asarray([
+        average_spectrum_samples(lam, val, _BIN_LAMBDA[i], _BIN_LAMBDA[i + 1])
+        for i in range(N_SPECTRAL_SAMPLES)])
+
+
+def _cie_tables():
+    """Bin-averaged CIE 1931 matching functions: the tabulated 471-sample
+    standard data (shipped as core/cie_data.npz; same values the reference
+    embeds at spectrum.cpp:190-906) resampled to the 60 transport bins via
+    AverageSpectrumSamples; the Wyman/Sloan/Shirley analytic fit is the
+    fallback when the data file is absent."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "cie_data.npz")
+    if os.path.exists(path):
+        z = np.load(path)
+        lam = z["CIE_lambda"]
+        return (_resample_to_bins(lam, z["CIE_X"]),
+                _resample_to_bins(lam, z["CIE_Y"]),
+                _resample_to_bins(lam, z["CIE_Z"]))
+    return cie_xyz_fit(_BIN_CENTER)
+
+
+_CIE_X, _CIE_Y, _CIE_Z = _cie_tables()
 _CIE_Y_INT = float(np.sum(_CIE_Y))
 
 
@@ -206,3 +268,72 @@ def blackbody_normalized(lam_nm: np.ndarray, temp_k: float) -> np.ndarray:
     """Blackbody scaled so peak = 1 (spectrum.cpp BlackbodyNormalized)."""
     lam_max = 2.8977721e-3 / temp_k * 1e9
     return blackbody(lam_nm, temp_k) / blackbody(np.array([lam_max]), temp_k)[0]
+
+
+# --- reference-parity Smits tables (spectrum.cpp:984-1172 RGBRefl2Spect*/
+# RGBIllum2Spect*, shipped as standard data in cie_data.npz) resampled to
+# the 60 transport bins. rgb_refl_to_spectrum/rgb_illum_to_spectrum follow
+# RGBSpectrum::ToSpectrum's min/mid/max decomposition (spectrum.cpp:289)
+# exactly; the solved-basis rgb_to_spectrum above stays the transport
+# default because its round trip is exact by construction. ---
+
+_SMITS = None
+
+
+def smits_tables():
+    """{'refl': (7, 60), 'illum': (7, 60)} in white, cyan, magenta,
+    yellow, red, green, blue order; None if cie_data.npz is absent."""
+    global _SMITS
+    if _SMITS is None:
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "cie_data.npz")
+        if not os.path.exists(path):
+            return None
+        z = np.load(path)
+        lam = z["RGB2SpectLambda"]
+        names = ["White", "Cyan", "Magenta", "Yellow", "Red", "Green",
+                 "Blue"]
+        _SMITS = {
+            kind: np.stack([
+                _resample_to_bins(lam, z[f"RGB{tab}2Spect{n}"])
+                for n in names]).astype(np.float32)
+            for kind, tab in (("refl", "Refl"), ("illum", "Illum"))}
+    return _SMITS
+
+
+def _smits_uplift(rgb: jnp.ndarray, basis: np.ndarray) -> jnp.ndarray:
+    """RGBSpectrum::ToSpectrum decomposition (spectrum.cpp:289): the
+    smallest channel scales white, the middle adds the secondary of the
+    smallest channel, the largest adds the primary of the largest."""
+    import jax
+
+    t = jnp.asarray(basis, rgb.dtype)
+    mn = jnp.min(rgb, -1)
+    mx = jnp.max(rgb, -1)
+    md = jnp.sum(rgb, -1) - mn - mx
+    hi = jax.lax.Precision.HIGHEST
+    sec = jnp.matmul(jax.nn.one_hot(jnp.argmin(rgb, -1), 3, dtype=rgb.dtype),
+                     t[1:4], precision=hi)
+    prm = jnp.matmul(jax.nn.one_hot(jnp.argmax(rgb, -1), 3, dtype=rgb.dtype),
+                     t[4:7], precision=hi)
+    s = (mn[..., None] * t[0] + (md - mn)[..., None] * sec
+         + (mx - md)[..., None] * prm)
+    return jnp.clip(s, 0.0, None)
+
+
+def rgb_refl_to_spectrum(rgb: jnp.ndarray) -> jnp.ndarray:
+    """Reference-parity reflectance promotion (spectrum.cpp:289 with the
+    RGBRefl2Spect tables; scale 0.94 per the reference)."""
+    tabs = smits_tables()
+    if tabs is None:
+        return rgb_to_spectrum(rgb)
+    return _smits_uplift(rgb, tabs["refl"])
+
+
+def rgb_illum_to_spectrum(rgb: jnp.ndarray) -> jnp.ndarray:
+    """Reference-parity illuminant promotion (RGBIllum2Spect tables)."""
+    tabs = smits_tables()
+    if tabs is None:
+        return rgb_to_spectrum(rgb)
+    return _smits_uplift(rgb, tabs["illum"])

@@ -298,10 +298,11 @@ def pdf_light_origin(ds, st, light_id, light_pmf):
 # ----------------------------- subpath walks --------------------------------
 
 
-def _make_vertex(n):
+def _make_vertex(n, c=3):
     z3 = jnp.zeros((n, 3))
     z = jnp.zeros(n)
-    return dict(p=z3, ns=z3, beta=z3, wo=z3, uv=jnp.zeros((n, 2)),
+    return dict(p=z3, ns=z3, beta=jnp.zeros((n, c)), wo=z3,
+                uv=jnp.zeros((n, 2)),
                 pdf_fwd=z, pdf_rev=z, delta=jnp.zeros(n, bool),
                 type=jnp.zeros(n, jnp.int32), mat=jnp.zeros(n, jnp.int32),
                 light=jnp.full(n, -1, jnp.int32),
@@ -318,6 +319,12 @@ def random_walk(ds, st, isect, features, o, d, beta, pdf_dir, n_steps,
     start vertex) receives its pdf_rev from the first bounce, matching the
     reference's prev-pointer update."""
     n = o.shape[0]
+    n_chan = getattr(st, "n_channels", 3)
+    if n_chan == 3:
+        def spec(x):
+            return x
+    else:
+        from tpupt.core.spectrum import rgb_to_spectrum as spec
     verts = []
     alive = alive0
     prev_p, prev_ns = o, d  # prev_ns unused for the first conversion target
@@ -330,7 +337,7 @@ def random_walk(ds, st, isect, features, o, d, beta, pdf_dir, n_steps,
         hit, _ = isect(ds, st, o, d, jnp.where(alive, jnp.inf, 0.0))
         sp = shading_point(ds, st, hit, o, d)
         valid = alive & hit.valid
-        v = _make_vertex(n)
+        v = _make_vertex(n, n_chan)
         v["p"] = sp.p
         v["ns"] = sp.ns
         v["uv"] = sp.uv
@@ -382,7 +389,7 @@ def random_walk(ds, st, isect, features, o, d, beta, pdf_dir, n_steps,
         v["on_surface"] = valid
         verts.append(v)
 
-        thru = bs.f * (cos_w / jnp.maximum(bs.pdf, 1e-9))[..., None]
+        thru = spec(bs.f) * (cos_w / jnp.maximum(bs.pdf, 1e-9))[..., None]
         beta = jnp.where(ok[..., None], beta * thru, 0.0)
         pdf_w = jnp.where(bs.specular, 0.0, bs.pdf)
         o = offset_ray_origin(sp.p, sp.ng, wi_w)
@@ -516,6 +523,15 @@ def bdpt_li(ds, st, sampler, max_depth, px, py, sample_idx, o, d,
     reference's zero-valued ConnectBDPT cases."""
     features = st.mat_features
     n = o.shape[0]
+    # spectral transport (SampledSpectrum, spectrum.h:289): colors are
+    # uplifted where they enter a throughput/contribution product, L and
+    # every vertex beta are C-channel, and outputs convert back to RGB
+    n_chan = getattr(st, "n_channels", 3)
+    if n_chan == 3:
+        def spec(x):
+            return x
+    else:
+        from tpupt.core.spectrum import rgb_to_spectrum as spec
     if valid is None:
         valid = jnp.ones(n, bool)
     t_max = max_depth + 2
@@ -542,15 +558,16 @@ def bdpt_li(ds, st, sampler, max_depth, px, py, sample_idx, o, d,
 
     # ---------------- camera subpath ----------------
     pdf_cam_dir, _ = camera_pdf_we(ds, st, cam_pos, cam_fwd, film_area, d)
-    v_cam0 = _make_vertex(n)
+    v_cam0 = _make_vertex(n, n_chan)
     v_cam0["p"] = cam_pos
     v_cam0["ns"] = cam_fwd
-    v_cam0["beta"] = jnp.ones((n, 3))
+    v_cam0["beta"] = jnp.ones((n, n_chan))
     v_cam0["pdf_fwd"] = jnp.ones(n)
     v_cam0["type"] = jnp.full(n, VT_CAMERA, jnp.int32)
     v_cam0["valid"] = jnp.ones(n, bool)
     u_cam = [jnp.stack(dims(40 + 3 * i, 3)) for i in range(t_max - 1)]
-    cam_surf = random_walk(ds, st, isect, features, o, d, jnp.ones((n, 3)),
+    cam_surf = random_walk(ds, st, isect, features, o, d,
+                           jnp.ones((n, n_chan)),
                            pdf_cam_dir, t_max - 1, u_cam,
                            valid, transport_light=False)
     cam_verts = [v_cam0] + cam_surf
@@ -563,12 +580,12 @@ def bdpt_li(ds, st, sampler, max_depth, px, py, sample_idx, o, d,
     pmf = ds.light_pdf[lid]
     p_l, n_l, d_l, le, pdf_pos, pdf_dir, delta_o, delta_d = sample_le(
         ds, st, lid, u_l[1], u_l[2], u_l[3], u_l[4])
-    v_l0 = _make_vertex(n)
+    v_l0 = _make_vertex(n, n_chan)
     v_l0["p"] = p_l
     v_l0["ns"] = n_l
     denom = jnp.maximum(pmf * pdf_pos * pdf_dir, 1e-12)
     cos0 = jnp.abs(dot(n_l, d_l))
-    v_l0["beta"] = le * (cos0 / denom)[..., None]
+    v_l0["beta"] = spec(le) * (cos0 / denom)[..., None]
     v_l0["pdf_fwd"] = pmf * pdf_pos
     v_l0["type"] = jnp.full(n, VT_LIGHT, jnp.int32)
     # the light START vertex keeps delta == false; IsDeltaLight() enters the
@@ -604,7 +621,7 @@ def bdpt_li(ds, st, sampler, max_depth, px, py, sample_idx, o, d,
                                   s1["pdf_fwd"])
     light_verts = [v_l0] + light_surf
 
-    L = jnp.zeros((n, 3))
+    L = jnp.zeros((n, n_chan))
     splat_p = []
     splat_L = []
     u_conn = [jnp.stack(dims(200 + 3 * k, 3)) for k in range(t_max + 2)]
@@ -621,7 +638,7 @@ def bdpt_li(ds, st, sampler, max_depth, px, py, sample_idx, o, d,
         d_esc = -wo_pt
         le_esc, _ = miss_radiance_and_pdf(ds, st, d_esc)
         le0 = jnp.where(esc[..., None], le_esc, le0)
-        c0 = pt["beta"] * le0
+        c0 = pt["beta"] * spec(le0)
         can0 = ((pt["valid"] & (pt["light"] >= 0)) | esc) \
             & (jnp.max(c0, -1) > 0.0)
         lid0 = jnp.clip(pt["light"], 0, max(st.n_lights - 1, 0))
@@ -661,13 +678,14 @@ def bdpt_li(ds, st, sampler, max_depth, px, py, sample_idx, o, d,
                                              False)
                 o_sh = offset_ray_origin(pt["p"], pt["ns"], ls.wi)
                 occ, _ = isect_p(ds, st, o_sh, ls.wi, ls.dist * 0.997)
-                c = pt["beta"] * f_pt * (
+                c = pt["beta"] * spec(f_pt) * (
                     jnp.abs(dot(ls.wi, pt["ns"]))
-                    / jnp.maximum(ls.pdf * pmf1, 1e-12))[..., None] * ls.li
+                    / jnp.maximum(ls.pdf * pmf1, 1e-12))[..., None] \
+                    * spec(ls.li)
                 can = (pt["valid"] & ~occ & (ls.pdf > 0.0)
                        & (jnp.max(c, -1) > 0.0))
                 # sampled light vertex for MIS
-                q_samp = _make_vertex(n)
+                q_samp = _make_vertex(n, n_chan)
                 p_samp = pt["p"] + ls.wi * ls.dist[..., None]
                 q_samp["p"] = p_samp
                 # true light-surface normal at the sampled point (the MIS
@@ -725,7 +743,8 @@ def bdpt_li(ds, st, sampler, max_depth, px, py, sample_idx, o, d,
                 f_qs, pdf_qs_fwd = _vertex_f(ds, st, qs, wn, features, True)
                 f_pt, pdf_pt_fwd = _vertex_f(ds, st, pt, -wn, features,
                                              False)
-                c = qs["beta"] * f_qs * (g[..., None]) * f_pt * pt["beta"]
+                c = qs["beta"] * spec(f_qs) * (g[..., None]) \
+                    * spec(f_pt) * pt["beta"]
                 can = pt["valid"] & qs["valid"] & (jnp.max(c, -1) > 0.0)
                 ov = {
                     "qs": _vertex_pdf(ds, st, pt, ptm["p"], qs, features),
@@ -763,7 +782,7 @@ def bdpt_li(ds, st, sampler, max_depth, px, py, sample_idx, o, d,
         o_sh = offset_ray_origin(qs["p"], qs["ns"], wc)
         occ, _ = isect_p(ds, st, o_sh, wc, dist * 0.997)
         cam_cos = jnp.abs(dot(wc, cam_fwd))
-        c = qs["beta"] * f_qs * (
+        c = qs["beta"] * spec(f_qs) * (
             we * jnp.abs(dot(wc, qs["ns"])) * cam_cos / jnp.maximum(
                 dist * dist, 1e-9))[..., None]
         can = qs["valid"] & inside & ~occ & (jnp.max(c, -1) > 0.0)
@@ -782,6 +801,12 @@ def bdpt_li(ds, st, sampler, max_depth, px, py, sample_idx, o, d,
             L = L + jnp.where(sel[..., None],
                               c * (w * n_strats)[..., None], 0.0)
             splat_p.append(jnp.where(sel[..., None], praster, 0.0))
+
+    if n_chan != 3:
+        from tpupt.core.spectrum import sampled_to_rgb
+
+        L = sampled_to_rgb(L)
+        splat_L = [sampled_to_rgb(x) for x in splat_L]
 
     if strategy is not None:
         # lane raster: lens projection for the selected t == 1 strategy,

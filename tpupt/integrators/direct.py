@@ -27,8 +27,15 @@ def direct_lighting_li(ds, st, sampler, max_depth, strategy,
     one-sample NEE at the first hit + recursion through specular surfaces
     (depth-limited, implemented as unrolled specular chase)."""
     n = o.shape[0]
-    L = jnp.zeros((n, 3))
-    beta = jnp.ones((n, 3))
+    # spectral transport: same uplift-at-entry scheme as path_li
+    n_chan = getattr(st, "n_channels", 3)
+    if n_chan == 3:
+        def spec_u(x):
+            return x
+    else:
+        from tpupt.core.spectrum import rgb_to_spectrum as spec_u
+    L = jnp.zeros((n, n_chan))
+    beta = jnp.ones((n, n_chan))
     alive = jnp.ones(n, bool)
 
     for depth in range(max_depth):
@@ -39,9 +46,11 @@ def direct_lighting_li(ds, st, sampler, max_depth, strategy,
 
         if st.n_lights > 0:
             le = emitted_radiance(ds, st, hit.prim, sp.light, wo, sp.ns)
-            L = L + jnp.where((alive & hit.valid)[..., None], beta * le, 0.0)
-            inf_le = _infinite_light_le(ds, st)
-            L = L + jnp.where((alive & ~hit.valid)[..., None], beta * inf_le, 0.0)
+            L = L + jnp.where((alive & hit.valid)[..., None],
+                              beta * spec_u(le), 0.0)
+            inf_le = jnp.broadcast_to(_infinite_light_le(ds, st), (n, 3))
+            L = L + jnp.where((alive & ~hit.valid)[..., None],
+                              beta * spec_u(inf_le), 0.0)
         alive = alive & hit.valid
 
         mp = bx.gather_mat_params(ds, sp.mat, uv=sp.uv, p=sp.p, face=sp.face,
@@ -76,7 +85,7 @@ def direct_lighting_li(ds, st, sampler, max_depth, strategy,
                                  jnp.where(can, ls.dist * 0.999, 0.0))
                 w_l = jnp.where(ls.is_delta, 1.0,
                                 power_heuristic(1.0, ls.pdf, 1.0, pdf_b))
-                contrib = beta * f_l * ls.li * (
+                contrib = beta * spec_u(f_l) * spec_u(ls.li) * (
                     w_l / jnp.maximum(ls.pdf * pmf, 1e-12))[..., None]
                 L = L + jnp.where((can & ~occ)[..., None], contrib, 0.0)
 
@@ -118,7 +127,7 @@ def direct_lighting_li(ds, st, sampler, max_depth, strategy,
                                  jnp.where(~hit2.valid & is_env,
                                            miss_pdf, 0.0))
                 w_b = power_heuristic(1.0, bs_d.pdf, 1.0, lp_b)
-                contrib_b = beta * bs_d.f * le_b * (
+                contrib_b = beta * spec_u(bs_d.f) * spec_u(le_b) * (
                     absdot(wi_bw, sp.ns) * w_b
                     / jnp.maximum(bs_d.pdf * pmf, 1e-12))[..., None]
                 L = L + jnp.where(can_b[..., None], contrib_b, 0.0)
@@ -129,7 +138,8 @@ def direct_lighting_li(ds, st, sampler, max_depth, strategy,
         bs = bx.sample(mp, wo_l, u_lobe, ub1, ub1, st.mat_features)
         spec = bs.specular & alive
         wi_w = bx.to_world(t_f, b_f, n_f, bs.wi)
-        thru = bs.f * (absdot(wi_w, sp.ns) / jnp.maximum(bs.pdf, 1e-9))[..., None]
+        thru = spec_u(bs.f) * (absdot(wi_w, sp.ns)
+                               / jnp.maximum(bs.pdf, 1e-9))[..., None]
         beta = jnp.where(spec[..., None], beta * thru, beta)
         alive = spec & (bs.pdf > 1e-9)
         o = offset_ray_origin(sp.p, sp.ng, wi_w)
@@ -137,6 +147,10 @@ def direct_lighting_li(ds, st, sampler, max_depth, strategy,
         if depth == max_depth - 1:
             break
 
+    if n_chan != 3:
+        from tpupt.core.spectrum import sampled_to_rgb
+
+        L = sampled_to_rgb(L)
     aov = jnp.zeros((n, 4))
     return L, aov
 

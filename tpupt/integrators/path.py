@@ -250,7 +250,7 @@ def pick_traversal(st: SceneStatics, force: str = None,
 def path_li(ds: DeviceScene, st: SceneStatics, sampler: WavefrontSampler,
             max_depth: int, rr_threshold: float,
             px, py, sample_idx, o, d, isect=None, isect_p=None, time=None,
-            unroll=False):
+            unroll=False, remat=False):
     if isect is None:
         isect, isect_p = pick_traversal(st)
 
@@ -622,14 +622,16 @@ def path_li(ds: DeviceScene, st: SceneStatics, sampler: WavefrontSampler,
         # stack-allocates the pallas traversal's FULL operands in scoped
         # VMEM (~32 MB > the 16 MB limit on v5e). Straight-line code keeps
         # the pallas calls at jit top level where operands stream from HBM.
-        # Each bounce is rematerialized (jax.checkpoint): the backward pass
-        # replays the bounce (traversal included — it is stop_gradient'd
-        # anyway) instead of storing every shading intermediate, trading
-        # ~1 extra forward for the HBM traffic of ~10^2 per-bounce
-        # residuals of (N,3) each
+        # remat=True additionally rematerializes each bounce
+        # (jax.checkpoint): the backward pass replays the bounce instead of
+        # storing its shading intermediates — ~2x less memory, measured
+        # ~1.8x slower on killeroo (the replay re-runs the traversal), so
+        # it is opt-in for memory-constrained gradient runs
         out = init
         for bounce in range(max_depth + 1):
-            out = jax.checkpoint(partial(body, bounce))(out)
+            fn = jax.checkpoint(partial(body, bounce)) if remat \
+                else partial(body, bounce)
+            out = fn(out)
     else:
         out = jax.lax.fori_loop(0, max_depth + 1, body, init)
     L_out = out.L
@@ -674,11 +676,13 @@ class Renderer:
         _enable_compile_cache()
         strategy = light_strategy or scene.integrator.light_strategy
         self.scene = scene
-        if spectral and scene.integrator.name != "path":
+        _SPECTRAL = ("path", "volpath", "bdpt", "mlt", "directlighting",
+                     "whitted", "ambientocclusion")
+        if spectral and scene.integrator.name not in _SPECTRAL:
             import warnings
 
-            warnings.warn("spectral transport is implemented for the "
-                          f"path-family integrators; {scene.integrator.name}"
+            warnings.warn("spectral transport covers the path/volpath/bdpt/"
+                          f"mlt integrator families; {scene.integrator.name}"
                           " renders in RGB")
             spectral = False
         self.ds, self.st = upload(scene, light_strategy=strategy,

@@ -95,7 +95,19 @@ def volpath_li(ds, st, sampler, max_depth: int, rr_threshold: float,
     """Trace a camera-ray batch through per-interface media + surfaces.
     `medium` (legacy positional slot) is ignored — media come from ds."""
     n = o.shape[0]
+    # spectral transport (SampledSpectrum parity for volpath.cpp): colors
+    # uplift where they enter the throughput chain; the medium sigma tables
+    # are uplifted ONCE so Beer-Lambert exponentiates per spectral bin
+    # (exp of the uplifted sigma, not an uplift of the RGB exp)
+    n_chan = getattr(st, "n_channels", 3)
+    if n_chan == 3:
+        def spec(x):
+            return x
+    else:
+        from tpupt.core.spectrum import rgb_to_spectrum as spec
     mt = media_view(ds)
+    if n_chan != 3:
+        mt = mt._replace(sigma_a=spec(mt.sigma_a), sigma_s=spec(mt.sigma_s))
     any_grid = st.any_grid_media
     has_ifaces = st.has_med_interfaces
     extra_depth = 4 if has_ifaces else 0
@@ -128,7 +140,8 @@ def volpath_li(ds, st, sampler, max_depth: int, rr_threshold: float,
         cur_med: jnp.ndarray  # (N,) i32 current medium id, -1 = vacuum
         vert: jnp.ndarray     # (N,) i32 REAL path vertices consumed
 
-    init = _S(o=o, d=d, L=jnp.zeros((n, 3)), beta=jnp.ones((n, 3)),
+    init = _S(o=o, d=d, L=jnp.zeros((n, n_chan)),
+              beta=jnp.ones((n, n_chan)),
               alive=jnp.ones(n, bool), prev_specular=jnp.ones(n, bool),
               prev_pdf=jnp.ones(n), prev_p=o,
               path_len=jnp.zeros(n, jnp.int32),
@@ -145,7 +158,7 @@ def volpath_li(ds, st, sampler, max_depth: int, rr_threshold: float,
             tr = tr_lane(mt, any_grid, med0, p_from, wi, dist,
                          rngm.hash_combine(keys, jnp.uint32(900)))
             return occ, tr
-        tr = jnp.ones((n, 3))
+        tr = jnp.ones((n, n_chan))
         occ = jnp.zeros(n, bool)
         o_cur = p_from
         rem = jnp.where(can, dist, 0.0)
@@ -227,14 +240,14 @@ def volpath_li(ds, st, sampler, max_depth: int, rr_threshold: float,
             pmf0 = ds.light_pdf[lid0]
             w = jnp.where(s.prev_specular, 1.0,
                           power_heuristic(1.0, s.prev_pdf, 1.0, lp * pmf0))
-            L = L + beta * le * w[..., None]
+            L = L + beta * spec(le) * w[..., None]
             miss = alive & ~hit.valid & ~interacted
             miss_le, miss_pdf = miss_radiance_and_pdf(ds, st, d)
             w_inf = jnp.where(s.prev_specular, 1.0,
                               power_heuristic(1.0, s.prev_pdf, 1.0,
                                               miss_pdf * inf_pmf))
             L = L + jnp.where(miss[..., None],
-                              beta * miss_le * w_inf[..., None], 0.0)
+                              beta * spec(miss_le) * w_inf[..., None], 0.0)
 
         alive = alive & (hit.valid | interacted) & ~(is_last & ~is_null)
 
@@ -262,10 +275,10 @@ def volpath_li(ds, st, sampler, max_depth: int, rr_threshold: float,
             ls = sample_li(ds, st, lid, p_vertex, ub[1], ub[2])
             wi_l = bx.to_local(t_f, b_f, n_f, ls.wi)
             f_s, pdf_b = bx.eval_pdf(mp, wo_l, wi_l, st.mat_features)
-            f_s = f_s * absdot(ls.wi, sp.ns)[..., None]
+            f_s = spec(f_s * absdot(ls.wi, sp.ns)[..., None])
             ph = hg_phase(jnp.sum(wo * ls.wi, -1), g_lane)
             f_l = jnp.where(interacted[..., None],
-                            jnp.repeat(ph[..., None], 3, -1), f_s)
+                            jnp.repeat(ph[..., None], n_chan, -1), f_s)
             pdf_fwd = jnp.where(interacted, ph, pdf_b)
             can = ((interacted | surf) & (ls.pdf > 0.0)
                    & (jnp.max(f_l, -1) > 0.0))
@@ -275,7 +288,7 @@ def volpath_li(ds, st, sampler, max_depth: int, rr_threshold: float,
                                 rngm.hash_combine(key_b, 23))
             w_l = jnp.where(ls.is_delta, 1.0,
                             power_heuristic(1.0, ls.pdf * pmf, 1.0, pdf_fwd))
-            contrib = beta * f_l * tr * ls.li * (
+            contrib = beta * f_l * tr * spec(ls.li) * (
                 w_l / jnp.maximum(ls.pdf * pmf, 1e-12))[..., None]
             L = L + jnp.where((can & ~occ)[..., None], contrib, 0.0)
 
@@ -284,7 +297,7 @@ def volpath_li(ds, st, sampler, max_depth: int, rr_threshold: float,
         wi_surf = bx.to_world(t_f, b_f, n_f, bs.wi)
         cos_w = absdot(wi_surf, sp.ns)
         ok_s = bs.pdf > 1e-9
-        thru_s = bs.f * (cos_w / jnp.maximum(bs.pdf, 1e-9))[..., None]
+        thru_s = spec(bs.f) * (cos_w / jnp.maximum(bs.pdf, 1e-9))[..., None]
 
         u_p1 = rngm.uniform_float(key_b, 31)
         u_p2 = rngm.uniform_float(key_b, 37)
@@ -343,4 +356,9 @@ def volpath_li(ds, st, sampler, max_depth: int, rr_threshold: float,
 
     out = jax.lax.fori_loop(0, max_depth + 1 + extra_depth, body, init)
     aov = jnp.stack([jnp.zeros(n)] * 3 + [out.path_len.astype(jnp.float32)], -1)
-    return out.L, aov
+    L_out = out.L
+    if n_chan != 3:
+        from tpupt.core.spectrum import sampled_to_rgb
+
+        L_out = sampled_to_rgb(L_out)
+    return L_out, aov

@@ -316,6 +316,7 @@ def tr_lane(mt: MediaTable, any_grid: bool, med, o, d, t_max, u_keys):
     Homogeneous: Beer-Lambert; grid: ratio tracking over the atlas."""
     mi = jnp.maximum(med, 0)
     sigma_t = mt.sigma_a[mi] + mt.sigma_s[mi]
+    nch = sigma_t.shape[-1]  # 3 (RGB) or the spectral bin count
     t_c = jnp.minimum(t_max, 1e7)
     tr = jnp.exp(-sigma_t * t_c[..., None])
     if any_grid:
@@ -335,7 +336,7 @@ def tr_lane(mt: MediaTable, any_grid: bool, med, o, d, t_max, u_keys):
                 active, 1.0 - jnp.maximum(0.0, dens * sig_mean * inv_max),
                 1.0)
         tr = jnp.where(mt.is_grid[mi][..., None],
-                       jnp.repeat(trg[..., None], 3, -1), tr)
+                       jnp.repeat(trg[..., None], nch, -1), tr)
     return jnp.where((med >= 0)[..., None], tr, 1.0)
 
 
@@ -350,10 +351,11 @@ def sample_distance_lane(mt: MediaTable, any_grid: bool, med, o, d, t_surf,
     sigma_a = mt.sigma_a[mi]
     sigma_s = mt.sigma_s[mi]
     sigma_t = sigma_a + sigma_s
+    nch = sigma_t.shape[-1]  # 3 (RGB) or the spectral bin count
     t_c = jnp.minimum(t_surf, 1e7)
 
     # homogeneous: channel-balanced exponential (homogeneous.cpp:49-77)
-    ch = jnp.minimum((u1 * 3).astype(jnp.int32), 2)
+    ch = jnp.minimum((u1 * nch).astype(jnp.int32), nch - 1)
     s_ch = jnp.take_along_axis(sigma_t, ch[:, None], 1)[:, 0]
     u2 = uniform_float(u_keys, jnp.uint32(3571))
     t_m = -jnp.log(jnp.maximum(1.0 - u2, 1e-9)) / jnp.maximum(s_ch, 1e-9)
