@@ -103,3 +103,57 @@ WorldEnd
     img_m = render(f'Material "matte" "rgb Kd" [{kd} {kd} {kd}]')
     assert np.isfinite(img_f).all()
     np.testing.assert_allclose(img_f.mean(), img_m.mean(), rtol=0.06)
+
+
+def test_fourier_sampling_matches_pdf_chi2():
+    """fourier_sample's directions are distributed per fourier_pdf (the
+    Sample_f/Pdf consistency the reference's BSDF chi-square test checks,
+    bsdftest.cpp): bin sampled mu_i and compare counts against the pdf
+    integral per bin. For the Lambertian table the marginal over mu is the
+    cosine density, doubling as an analytic cross-check."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tpupt.materials.fourier import (make_lambertian_table,
+                                         fourier_sample, fourier_pdf)
+
+    tbl_np = make_lambertian_table(kd=0.6, n_mu=24)
+    tbl = {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
+           for k, v in tbl_np.items()}
+    n = 1 << 15
+    rng = np.random.default_rng(5)
+    u1 = jnp.asarray(rng.random(n, np.float32))
+    u2 = jnp.asarray(rng.random(n, np.float32))
+    wo = jnp.broadcast_to(jnp.asarray([0.3, 0.2, 0.933]), (n, 3))
+    wi = fourier_sample(tbl, wo, u1, u2)
+    mu_i = np.asarray(-wi[:, 2])
+    # the Lambertian table stores coefficients where muI and muO have
+    # OPPOSITE signs (muI = -wi.z, so physically the SAME hemisphere —
+    # reflection); with muO > 0 every sample must land at muI < 0
+    # piecewise-linear cdf inversion can park ~0.2% of samples exactly on
+    # the zero-mass boundary knot (mu == 0), where f == 0 — harmless
+    assert (mu_i < 0).mean() > 0.99
+
+    # bins aligned to the mu knots: the sampling density is piecewise
+    # CONSTANT per knot segment, so center-evaluated pdf x width is the
+    # exact bin mass
+    edges = np.asarray(tbl_np["mu"])
+    nb = len(edges) - 1
+    counts, _ = np.histogram(mu_i, bins=edges)
+    centers = 0.5 * (edges[:-1] + edges[1:])
+    wi_c = -np.stack([np.sqrt(np.maximum(1 - centers**2, 0.0)),
+                      np.zeros(nb), centers], -1)
+    pdf_c = np.asarray(fourier_pdf(
+        tbl, jnp.broadcast_to(jnp.asarray([0.3, 0.2, 0.933]), (nb, 3)),
+        jnp.asarray(wi_c, jnp.float32)))
+    expect = 2 * np.pi * pdf_c * np.diff(edges) * n
+    mask = expect > 20
+    chi2 = np.sum((counts[mask] - expect[mask]) ** 2 / expect[mask])
+    dof = int(mask.sum()) - 1
+    # generous 99.9% cut (chi2_0.999 at ~10 dof ~ 29.6)
+    assert chi2 < 40.0, (chi2, dof, counts[mask], expect[mask])
+    # analytic: Lambertian marginal over |mu| is the cosine density 2|mu|
+    # (trapezoid staircase agrees to the segment width)
+    # exclude the zero-straddling segment whose center sits at mu ~ 0
+    sel = (pdf_c > 1e-4) & (np.abs(centers) > np.diff(edges))
+    np.testing.assert_allclose(2 * np.pi * pdf_c[sel],
+                               2 * np.abs(centers)[sel], rtol=0.2)

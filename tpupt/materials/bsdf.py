@@ -142,7 +142,7 @@ def gather_mat_params(ds, mat_id, uv=None, p=None, has_textures=False,
         h=(jnp.clip(-1.0 + 2.0 * uv[..., 1], -1.0, 1.0) if uv is not None
            else jnp.zeros_like(rough)),
         fourier=(dict(mu=ds.four_mu, a=ds.four_a, m=ds.four_m,
-                      aoffset=ds.four_aoff, **fourier_meta)
+                      aoffset=ds.four_aoff, cdf=ds.four_cdf, **fourier_meta)
                  if fourier_meta is not None else None),
     )
 
@@ -696,12 +696,12 @@ def eval_pdf(mp: MatParams, wo, wi, features=frozenset()):
         hf, hp = hair_f_pdf(mp, wo, wi)
         lobes.append((MAT_HAIR, hf, hp))
     if "fourier" in features and mp.fourier is not None:
-        from tpupt.materials.fourier import fourier_f
+        from tpupt.materials.fourier import fourier_f, fourier_pdf
 
         ff = fourier_f(mp.fourier, wo, wi)
-        # sampling uses a two-sided cosine hemisphere (reflection +
-        # transmission sheets; the reference importance-samples its cdf)
-        fp = 0.5 * abs_cos_theta(wi) * INV_PI
+        # importance-sampling pdf from the table's marginal cdf (matches
+        # fourier_sample; FourierBSDF::Pdf, reflection.cpp:573)
+        fp = fourier_pdf(mp.fourier, wo, wi)
         lobes.append((MAT_FOURIER, ff, fp))
     for tid, tf, tp in lobes:
         sel = t == tid
@@ -885,8 +885,9 @@ def sample(mp: MatParams, wo, u_lobe, u1, u2, features=frozenset()):
         wi_hair = hair_sample(mp, wo, u_lobe, u1, u2)
         wi_cands.append((MAT_HAIR, wi_hair, False))
     if "fourier" in features and mp.fourier is not None:
-        wi_four = jnp.where((u_lobe < 0.5)[..., None],
-                            wi_diff, wi_diff * jnp.array([1.0, 1.0, -1.0]))
+        from tpupt.materials.fourier import fourier_sample
+
+        wi_four = fourier_sample(mp.fourier, wo, u1, u2)
         wi_cands.append((MAT_FOURIER, wi_four, False))
     if "mix" in features and mp.mix_a is not None:
         q = mp.extra[..., 0]

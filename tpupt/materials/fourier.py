@@ -33,11 +33,17 @@ def read_bsdf_file(path: str):
         return None
     mu = np.frombuffer(data, "<f4", n_mu, off)
     off += 4 * n_mu
-    off += 4 * n_mu * n_mu  # cdf (used by the reference's importance sampler)
+    # marginal cdf over muI per muO row (cdf[o*n_mu+i] = integral of the
+    # azimuth-integrated 0th Fourier coefficient up to mu[i]) — the
+    # importance sampler inverts it (FourierBSDF::Sample_f,
+    # reflection.cpp:523 via SampleCatmullRom2D)
+    cdf = np.frombuffer(data, "<f4", n_mu * n_mu, off)
+    off += 4 * n_mu * n_mu
     oal = np.frombuffer(data, "<i4", 2 * n_mu * n_mu, off).reshape(-1, 2)
     off += 8 * n_mu * n_mu
     a = np.frombuffer(data, "<f4", n_coeffs, off)
     return dict(mu=mu.astype(np.float32), a=a.astype(np.float32),
+                cdf=cdf.astype(np.float32),
                 aoffset=oal[:, 0].astype(np.int32),
                 m=oal[:, 1].astype(np.int32), m_max=int(m_max),
                 n_mu=int(n_mu), n_channels=int(n_channels), eta=float(eta))
@@ -58,7 +64,18 @@ def make_lambertian_table(kd=0.5, n_mu=16):
                 aoffset[idx] = len(coeffs)
                 coeffs.append(np.float32(kd / np.pi * abs(mu[oi])))
                 m[idx] = 1
-    return dict(mu=mu, a=np.asarray(coeffs, np.float32), aoffset=aoffset,
+    # cdf rows matching the file format: trapezoid integral of 2*pi*a0
+    # over muI per muO row (fourier.cpp:188)
+    cdf = np.zeros((n_mu, n_mu), np.float32)
+    a_arr = np.asarray(coeffs, np.float32)
+    for oj in range(n_mu):
+        for oi in range(1, n_mu):
+            def a0(ii):
+                idx = oj * n_mu + ii
+                return a_arr[aoffset[idx]] if m[idx] > 0 else 0.0
+            cdf[oj, oi] = cdf[oj, oi - 1] + 2.0 * np.pi * 0.5 * (
+                a0(oi) + a0(oi - 1)) * (mu[oi] - mu[oi - 1])
+    return dict(mu=mu, a=a_arr, cdf=cdf.reshape(-1), aoffset=aoffset,
                 m=m, m_max=1, n_mu=n_mu, n_channels=1, eta=1.0)
 
 
@@ -160,3 +177,68 @@ def fourier_f(tbl, wo, wi):
         g = 1.39829 * y - 0.100913 * b_ - 0.297375 * r
         rgb = jnp.clip(jnp.stack([r, g, b_], -1), 0.0, None)
     return jnp.where(valid[..., None], rgb * scale[..., None], 0.0)
+
+
+def _cdf_row(tbl, mu_o):
+    """Catmull-Rom-weighted combination of the 4 cdf rows around mu_o:
+    R (N, n_mu) is the conditional (unnormalized) cdf over muI given muO
+    (the linear-inversion analog of SampleCatmullRom2D's row blend,
+    interpolation.cpp:290)."""
+    mu = tbl["mu"]
+    n_mu = tbl["n_mu"]
+    cdf = tbl["cdf"]
+    oo, wo4, ok_o = catmullrom_weights(mu, mu_o)
+    cols = jnp.arange(n_mu)
+    R = 0.0
+    for b in range(4):
+        jj = jnp.clip(oo + b, 0, n_mu - 1)
+        R = R + wo4[..., b:b + 1] * cdf[jj[..., None] * n_mu + cols[None, :]]
+    # weighted rows can dip epsilon-negative at the spline edges; a running
+    # max keeps R monotone for the inversion
+    R = jax.lax.cummax(jnp.maximum(R, 0.0), axis=R.ndim - 1)
+    return R, ok_o
+
+
+def fourier_pdf(tbl, wo, wi):
+    """Solid-angle pdf of fourier_sample: piecewise-constant-in-mu
+    conditional density from the tabulated cdf, uniform in azimuth
+    (FourierBSDF::Pdf parity up to the linear-vs-spline inversion,
+    reflection.cpp:573)."""
+    mu = tbl["mu"]
+    n_mu = tbl["n_mu"]
+    mu_i = -wi[..., 2]
+    mu_o = wo[..., 2]
+    R, ok_o = _cdf_row(tbl, mu_o)
+    i = jnp.clip(jnp.searchsorted(mu, mu_i, side="right") - 1, 0, n_mu - 2)
+    c_lo = jnp.take_along_axis(R, i[..., None], -1)[..., 0]
+    c_hi = jnp.take_along_axis(R, (i + 1)[..., None], -1)[..., 0]
+    norm = R[..., n_mu - 1]
+    seg = jnp.maximum(mu[i + 1] - mu[i], 1e-12)
+    pdf_mu = jnp.where(norm > 1e-12, (c_hi - c_lo) / (seg * norm), 0.0)
+    ok = ok_o & (mu_i >= mu[0]) & (mu_i <= mu[-1])
+    return jnp.where(ok, jnp.maximum(pdf_mu, 0.0) / (2.0 * np.pi), 0.0)
+
+
+def fourier_sample(tbl, wo, u1, u2):
+    """Sample wi from the tabulated distribution: invert the conditional
+    muI cdf (piecewise linear), pick the azimuth offset uniformly.
+    Returns wi (N,3); its pdf is exactly fourier_pdf(tbl, wo, wi)."""
+    mu = tbl["mu"]
+    n_mu = tbl["n_mu"]
+    mu_o = wo[..., 2]
+    R, _ = _cdf_row(tbl, mu_o)
+    norm = R[..., n_mu - 1]
+    target = u1 * norm
+    i = jnp.clip(jnp.sum((R <= target[..., None]).astype(jnp.int32), -1) - 1,
+                 0, n_mu - 2)
+    c_lo = jnp.take_along_axis(R, i[..., None], -1)[..., 0]
+    c_hi = jnp.take_along_axis(R, (i + 1)[..., None], -1)[..., 0]
+    t = jnp.clip((target - c_lo) / jnp.maximum(c_hi - c_lo, 1e-12), 0.0, 1.0)
+    mu_i = mu[i] + t * (mu[i + 1] - mu[i])
+    mu_i = jnp.clip(mu_i, -1.0, 1.0)
+    # azimuth: -wi gets wo's azimuth plus a uniform offset
+    phi_o = jnp.arctan2(wo[..., 1], wo[..., 0])
+    phi = phi_o + 2.0 * np.pi * u2
+    sin_i = jnp.sqrt(jnp.maximum(1e-20, 1.0 - mu_i * mu_i))
+    # -wi = (sin_i cos(phi), sin_i sin(phi), mu_i)
+    return -jnp.stack([sin_i * jnp.cos(phi), sin_i * jnp.sin(phi), mu_i], -1)

@@ -127,6 +127,7 @@ class DeviceScene(NamedTuple):
     four_a: jnp.ndarray = None
     four_m: jnp.ndarray = None
     four_aoff: jnp.ndarray = None
+    four_cdf: jnp.ndarray = None  # (n_mu*n_mu,) marginal cdf (sampling)
     # two-level HBM-streamed traversal tables (accel/treelets.py); 1-row
     # dummies for scenes that fit the single-level VMEM budget
     top_tiles: jnp.ndarray = None   # (Ntop, 8, 8) f32, VMEM-resident top tree
@@ -548,6 +549,8 @@ def upload(scene: FlatScene, bvh: BVHArrays = None,
         four_mu=jnp.asarray(ft["mu"] if ft else np.zeros(1, np.float32)),
         four_a=jnp.asarray(ft["a"] if ft else np.zeros(1, np.float32)),
         four_m=jnp.asarray(ft["m"] if ft else np.zeros(1, np.int32)),
+        four_cdf=jnp.asarray(ft.get("cdf", np.zeros(1, np.float32))
+                             if ft else np.zeros(1, np.float32)),
         four_aoff=jnp.asarray(ft["aoffset"] if ft
                               else np.zeros(1, np.int32)),
         **_texture_fields(scene, m),
