@@ -54,3 +54,52 @@ def test_direct_vs_path_single_bounce():
     i1 = _render("directlighting", '"integer maxdepth" [2]')
     i2 = _render("path", '"integer maxdepth" [1]')
     np.testing.assert_allclose(i1.mean((0, 1)), i2.mean((0, 1)), rtol=0.02)
+
+
+def test_cat_scene_round_trips():
+    """--cat emits statements that re-parse to the same scene (pbrt.cpp
+    --cat); --toply swaps inline meshes for PLY sidecars that flatten to
+    the same triangle count."""
+    import io
+    import os
+    import tempfile
+    import numpy as np
+    from tpupt.scene.loader import parse_file, parse_string
+    from tpupt.scene.flatten import flatten
+    from tpupt.tools.catscene import cat_scene
+
+    txt = """
+LookAt 0 0 4   0 0 0   0 1 0
+Camera "perspective" "float fov" [45]
+Film "image" "integer xresolution" [12] "integer yresolution" [12]
+Sampler "random" "integer pixelsamples" [2]
+Integrator "path" "integer maxdepth" [2]
+WorldBegin
+LightSource "point" "point from" [0 2 0] "color I" [5 5 5]
+Material "matte" "color Kd" [0.4 0.5 0.6]
+Shape "trianglemesh" "point P" [ -1 -1 0  1 -1 0  1 1 0  -1 1 0 ]
+    "integer indices" [0 1 2 2 3 0]
+Shape "sphere" "float radius" [0.5]
+WorldEnd
+"""
+    desc = parse_string(txt)
+    buf = io.StringIO()
+    cat_scene(desc, buf)
+    desc2 = parse_string(buf.getvalue())
+    sc1 = flatten(desc)
+    sc2 = flatten(desc2)
+    assert sc1.triangles.count == sc2.triangles.count
+    assert sc1.spheres.count == sc2.spheres.count
+    assert sc1.lights.count == sc2.lights.count
+    np.testing.assert_allclose(np.asarray(sc1.camera.cam_to_world),
+                               np.asarray(sc2.camera.cam_to_world),
+                               atol=1e-5)
+
+    with tempfile.TemporaryDirectory() as td:
+        buf2 = io.StringIO()
+        n_ply = cat_scene(desc, buf2, to_ply=True, ply_dir=td)
+        assert n_ply == 1 and os.path.exists(
+            os.path.join(td, "mesh_00000.ply"))
+        desc3 = parse_string(buf2.getvalue())
+        sc3 = flatten(desc3, scene_dir=td)
+        assert sc3.triangles.count == sc1.triangles.count

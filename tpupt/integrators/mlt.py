@@ -212,6 +212,15 @@ class MLTRenderer:
         # final estimate: b * splat / totalMutations * npixels
         # (pbrt: splatScale = b / mutationsPerPixel with per-pixel splats)
         scale = self.b / (n_steps * self.n) * npx
+        # the estimate also lands in a Film (film.splat with splatScale 1,
+        # Film::AddSplat + WriteImage parity, film.cpp:144-153) so the
+        # --stats/--writestats machinery serves MLT like every other
+        # integrator; traversal counters stay zero (the multiplexed BDPT
+        # kernel does not thread GeneralStats through its strategies)
+        from tpupt.film import film as filmmod
+
+        self.film = filmmod.new_film(self.xres, self.yres)
+        self.film = self.film._replace(splat=splat * scale)
         img = np.asarray(splat).reshape(self.yres, self.xres, 3) * scale
         return img
 

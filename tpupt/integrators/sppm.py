@@ -323,4 +323,16 @@ class SPPMRenderer:
         pid = np.asarray(r.py) * self.xres + np.asarray(r.px)
         valid = np.asarray(r.valid)
         np.add.at(img, pid[valid], np.asarray(L)[valid])
+        # Film integration (--stats/--writestats parity): the per-pixel
+        # estimate enters film.rgb with unit weight — SPPM's estimator is
+        # already per-pixel-normalized (sppm.cpp:307 writes pixels
+        # directly), so a box reconstruction with weight 1 is exact
+        from tpupt.film import film as filmmod
+
+        self.film = filmmod.new_film(self.xres, self.yres)
+        w = np.zeros(self.npix, np.float32)
+        np.add.at(w, pid[valid], 1.0)
+        self.film = self.film._replace(
+            rgb=jnp.asarray(img * w[:, None] / np.maximum(w[:, None], 1.0)),
+            weight=jnp.asarray(np.maximum(w, 0.0)))
         return img.reshape(self.yres, self.xres, 3)

@@ -71,18 +71,26 @@ class ShardedRenderer:
         self.cfg = self.base.cfg
         self.st = self.base.st
         n_dev = self.mesh.size
-        assert self.base.batch % n_dev == 0, \
-            f"wavefront batch {self.base.batch} not divisible by mesh size {n_dev}"
+        # pad the wavefront to a mesh-divisible batch instead of rejecting
+        # awkward device counts (a 3-host or 6-chip pod must just work):
+        # padded lanes carry valid=False, so the film scatter masks them
+        self.batch = -(-self.base.batch // n_dev) * n_dev
+        base_n = int(self.base.px.shape[0])
+        self.n_batches = -(-base_n // self.batch)
+        pad = self.n_batches * self.batch - base_n
+        px_h = jnp.concatenate([self.base.px,
+                                jnp.zeros(pad, self.base.px.dtype)])
+        py_h = jnp.concatenate([self.base.py,
+                                jnp.zeros(pad, self.base.py.dtype)])
+        valid_h = jnp.concatenate([self.base.valid, jnp.zeros(pad, bool)])
 
         shard = NamedSharding(self.mesh, P(self.axis))
         repl = NamedSharding(self.mesh, P())
-        self.px = jax.device_put(self.base.px, shard)
-        self.py = jax.device_put(self.base.py, shard)
-        self.valid = jax.device_put(self.base.valid, shard)
+        self.px = jax.device_put(px_h, shard)
+        self.py = jax.device_put(py_h, shard)
+        self.valid = jax.device_put(valid_h, shard)
         self.ds = jax.tree.map(lambda a: jax.device_put(a, repl),
                                self.base.ds)
-        self.n_batches = self.base.n_batches
-        self.batch = self.base.batch
         self._step = jax.jit(self.base._step_py, out_shardings=repl,
                              donate_argnums=(1,))
 

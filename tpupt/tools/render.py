@@ -40,6 +40,12 @@ def main(argv=None):
                     metavar=("X0", "X1", "Y0", "Y1"))
     ap.add_argument("--accelerator", default=None,
                     help="override the scene accelerator (bvh/kdtree/...)")
+    ap.add_argument("--cat", action="store_true",
+                    help="print the parsed scene as canonical pbrt "
+                         "statements and exit (pbrt --cat)")
+    ap.add_argument("--toply", action="store_true",
+                    help="like --cat but convert inline trianglemeshes to "
+                         "binary PLY sidecars (pbrt --toply)")
     ap.add_argument("--dumptree", action="store_true",
                     help="write the full accelerator-tree serialization "
                          "(GenericBSP operator<<, off by default like the "
@@ -93,6 +99,18 @@ def main(argv=None):
 
     t0 = time.time()
     desc = parse_file(args.scene)
+    if args.cat or args.toply:
+        import sys as _sys
+
+        from tpupt.tools.catscene import cat_scene
+
+        out_dir = os.path.dirname(os.path.abspath(args.scene))
+        n_ply = cat_scene(desc, _sys.stdout, to_ply=args.toply,
+                          ply_dir=out_dir)
+        if args.toply and not args.quiet:
+            print(f"# wrote {n_ply} PLY sidecars to {out_dir}",
+                  file=_sys.stderr)
+        return 0
     scene = flatten(desc, os.path.dirname(os.path.abspath(args.scene)))
     if args.accelerator:
         scene.accelerator_name = args.accelerator
@@ -135,17 +153,20 @@ def main(argv=None):
         if name == "mlt":
             from tpupt.integrators.mlt import MLTRenderer
 
-            img = MLTRenderer(r).render(
-                mutations_per_pixel=max(spp * 8, 32),
-                verbose=not args.quiet)
-            film = None
+            mr = MLTRenderer(r)
+            img = mr.render(mutations_per_pixel=max(spp * 8, 32),
+                            verbose=not args.quiet)
+            film = mr.film  # splat-backed Film (stats/writestats parity)
+            r._spp_rendered = 1  # splats carry the final physical estimate
             render_s = time.time() - t0
         elif name == "sppm":
             from tpupt.integrators.sppm import SPPMRenderer
 
-            img = SPPMRenderer(r).render(n_iterations=max(spp, 4),
-                                         verbose=not args.quiet)
-            film = None
+            sr_ = SPPMRenderer(r)
+            img = sr_.render(n_iterations=max(spp, 4),
+                             verbose=not args.quiet)
+            film = sr_.film  # rgb-backed Film (stats/writestats parity)
+            r._spp_rendered = 1
             render_s = time.time() - t0
         elif args.mesh and len(jax.devices()) > 1:
             from tpupt.parallel.mesh import ShardedRenderer, make_mesh
