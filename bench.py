@@ -125,12 +125,13 @@ def bench_killeroo():
     return fwd, fwd_bwd
 
 
-def bench_kdtree():
+def bench_alt_accel(accel, n_dirs=None):
     """Thesis-family accelerator throughput (the instrumentation the
     reference exists to study, BASELINE.md): killeroo through the native
-    kd-tree build + unified projected-plane traversal, with the total
+    kd/RBSP builders + the Pallas packet walker, with the total
     node-traversal / prim-test counters the thesis tables report
-    (killerroo-simple-times rows; counts scale linearly in spp)."""
+    (killerroo-simple-times rows; counts scale linearly in spp).
+    Returns (rays/s, nodes/spp, tests/spp, build_seconds)."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -141,8 +142,15 @@ def bench_kdtree():
 
     scene = with_resolution(
         flatten(parse_file(SCENE), os.path.dirname(SCENE)), RES, RES)
-    scene.accelerator_name = "kdtree"
+    scene.accelerator_name = accel
+    if n_dirs is not None:
+        from tpupt.scene.params import ParamSet
+
+        ps = ParamSet()
+        ps.add("integer nbDirections", [n_dirs])
+        scene.accelerator_params = ps
     r = Renderer(scene, collect_stats=True)
+    build_s = r.accel_stats.get("build_seconds", 0.0)
     film = new_film(RES, RES)
     state = {"film": film}
 
@@ -156,7 +164,7 @@ def bench_kdtree():
     spp_done = 3.0  # compile + 2 timed reps accumulated into the film
     nodes = float(aov[:, 0].sum()) / spp_done
     tests = float(aov[:, 2].sum()) / spp_done
-    return RES * RES / dt, nodes, tests
+    return RES * RES / dt, nodes, tests, build_s
 
 
 def bench_museum():
@@ -206,10 +214,20 @@ def main():
         museum_rays, museum_tris = 0.0, 0
         print(f"museum bench failed: {e!r}", file=sys.stderr)
     try:
-        kd_rays, kd_nodes, kd_tests = bench_kdtree()
+        kd_rays, kd_nodes, kd_tests, kd_build = bench_alt_accel("kdtree")
     except Exception as e:
-        kd_rays, kd_nodes, kd_tests = 0.0, 0.0, 0.0
+        kd_rays, kd_nodes, kd_tests, kd_build = 0.0, 0.0, 0.0, 0.0
         print(f"kdtree bench failed: {e!r}", file=sys.stderr)
+    try:
+        # rbsp-3 is the thesis comparator that fits the VMEM node budget
+        # (rbsp-7's reference-default tree is ~1.45M nodes = 46 MB packed;
+        # its 163 s build vs the reference's 126 s is recorded in
+        # COMPONENTS.md); counters land within a few % of kd like the
+        # thesis table rows (449.6M vs 449.6M nodes at 8 spp)
+        rb_rays, rb_nodes, rb_tests, rb_build = bench_alt_accel("rbsp", 3)
+    except Exception as e:
+        rb_rays, rb_nodes, rb_tests, rb_build = 0.0, 0.0, 0.0, 0.0
+        print(f"rbsp bench failed: {e!r}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "killeroo_camera_rays_per_s_depth5",
@@ -227,7 +245,18 @@ def main():
         "kdtree_rays_per_s": round(kd_rays, 1),
         "kdtree_node_traversals_per_spp": round(kd_nodes, 1),
         "kdtree_prim_tests_per_spp": round(kd_tests, 1),
+        "kdtree_build_s": round(kd_build, 2),
+        "rbsp3_rays_per_s": round(rb_rays, 1),
+        "rbsp3_node_traversals_per_spp": round(rb_nodes, 1),
+        "rbsp3_prim_tests_per_spp": round(rb_tests, 1),
+        "rbsp3_build_s": round(rb_build, 2),
+        # prior-round regression guard: the honest fetch-synced value from
+        # the previous driver run (update when a round lands a new number)
+        "prev_round_killeroo": 233070.0,
     }))
+    if fwd < 0.9 * 233070.0:
+        print(f"REGRESSION: killeroo {fwd:.0f} < 90% of prior 233070",
+              file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -170,3 +170,61 @@ def test_sphere_vs_triangle_mixed_scene():
     assert np.isclose(float(hit.t[0]), 4.0, atol=1e-3)
     assert bool(hit.valid[1]) and int(hit.prim[1]) < st.n_tris  # plane
     assert np.isclose(float(hit.t[1]), 8.0, atol=1e-3)
+
+
+def test_middle_equalcounts_split_methods():
+    """bvhOld's Middle/EqualCounts research comparators (bvhOld.h:58-65):
+    both must produce valid trees covering all prims, and renders through
+    them must match the SAH tree's hits."""
+    import numpy as np
+    from tpupt.accel.bvh import build_bvh_split
+
+    rng = np.random.default_rng(11)
+    n = 400
+    c = rng.random((n, 3))
+    h = rng.random((n, 3)) * 0.05
+    for method in ("middle", "equalcounts"):
+        b = build_bvh_split(c - h, c + h, method)
+        assert sorted(b.prim_ids.tolist()) == list(range(n)), method
+        # parent boxes contain children
+        stack = [0]
+        while stack:
+            i = stack.pop()
+            if b.count[i] == 0:
+                for ch in (i + 1, int(b.right[i])):
+                    assert (b.lo[i] <= b.lo[ch] + 1e-6).all()
+                    assert (b.hi[i] >= b.hi[ch] - 1e-6).all()
+                stack += [i + 1, int(b.right[i])]
+
+
+def test_splitmethod_param_renders_same_image():
+    from tpupt.scene.loader import parse_string
+    from tpupt.scene.flatten import flatten
+    from tpupt.scene.params import ParamSet
+    from tpupt.integrators.path import Renderer
+    import numpy as np
+
+    txt = """
+LookAt 0 0 4   0 0 0   0 1 0
+Camera "perspective" "float fov" [45]
+Film "image" "integer xresolution" [10] "integer yresolution" [10]
+Sampler "random" "integer pixelsamples" [2]
+Integrator "path" "integer maxdepth" [2]
+WorldBegin
+LightSource "point" "point from" [0 2 2] "color I" [9 9 9]
+Material "matte" "color Kd" [0.5 0.5 0.5]
+Shape "trianglemesh" "point P" [ -2 -1 0  2 -1 0  2 1 0  -2 1 0 ]
+    "integer indices" [0 1 2 2 3 0]
+WorldEnd
+"""
+    imgs = []
+    for method in (None, "middle", "equalcounts"):
+        scene = flatten(parse_string(txt))
+        if method:
+            ps = ParamSet()
+            ps.add("string splitmethod", [method])
+            scene.accelerator_params = ps
+        r = Renderer(scene)
+        imgs.append(r.image(r.render(spp=2)))
+    np.testing.assert_allclose(imgs[0], imgs[1], atol=1e-5)
+    np.testing.assert_allclose(imgs[0], imgs[2], atol=1e-5)

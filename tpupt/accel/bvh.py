@@ -405,3 +405,80 @@ def scene_prim_bounds(scene) -> tuple:
     if not los:
         return np.zeros((0, 3)), np.zeros((0, 3))
     return np.concatenate(los), np.concatenate(his)
+
+
+def build_bvh_split(prim_lo: np.ndarray, prim_hi: np.ndarray,
+                    method: str = "middle",
+                    max_leaf_prims: int = 4) -> BVHArrays:
+    """Middle / EqualCounts split methods of the research comparator
+    (bvhOld.h:58-65 SplitMethod::Middle / ::EqualCounts): recursive
+    top-down build splitting the centroid bounds at the midpoint of the
+    widest axis (middle) or at the median primitive (equalcounts). These
+    exist for A/B comparisons against SAH, not performance."""
+    n = len(prim_lo)
+    prim_lo = np.asarray(prim_lo, np.float64)
+    prim_hi = np.asarray(prim_hi, np.float64)
+    if n == 0:
+        return build_bvh(prim_lo, prim_hi, max_leaf_prims)
+    cent = 0.5 * (prim_lo + prim_hi)
+
+    lo_l, hi_l, right_l, first_l, count_l, axis_l = [], [], [], [], [], []
+    prim_ids: list = []
+
+    def emit(idx):
+        i = len(lo_l)
+        lo_l.append(prim_lo[idx].min(0))
+        hi_l.append(prim_hi[idx].max(0))
+        right_l.append(0)
+        first_l.append(0)
+        count_l.append(0)
+        axis_l.append(0)
+        return i
+
+    def rec(idx):
+        i = emit(idx)
+        if len(idx) <= max_leaf_prims:
+            first_l[i] = len(prim_ids)
+            count_l[i] = len(idx)
+            prim_ids.extend(idx.tolist())
+            return i
+        c = cent[idx]
+        ext = c.max(0) - c.min(0)
+        ax = int(np.argmax(ext))
+        axis_l[i] = ax
+        if ext[ax] <= 1e-12:
+            # degenerate spread: fall back to an equal-count split
+            order = np.argsort(c[:, ax], kind="stable")
+            half = len(idx) // 2
+            left, right = idx[order[:half]], idx[order[half:]]
+        elif method == "middle":
+            mid = 0.5 * (c[:, ax].min() + c[:, ax].max())
+            mask = c[:, ax] < mid
+            left, right = idx[mask], idx[~mask]
+            if len(left) == 0 or len(right) == 0:
+                order = np.argsort(c[:, ax], kind="stable")
+                half = len(idx) // 2
+                left, right = idx[order[:half]], idx[order[half:]]
+        else:  # equalcounts (nth_element median, bvhOld SplitEqualCounts)
+            order = np.argsort(c[:, ax], kind="stable")
+            half = len(idx) // 2
+            left, right = idx[order[:half]], idx[order[half:]]
+        rec(left)
+        right_l[i] = rec(right)
+        return i
+
+    import sys as _sys
+
+    old = _sys.getrecursionlimit()
+    _sys.setrecursionlimit(max(old, 10000 + n))
+    try:
+        rec(np.arange(n))
+    finally:
+        _sys.setrecursionlimit(old)
+    return BVHArrays(
+        lo=np.asarray(lo_l, np.float32), hi=np.asarray(hi_l, np.float32),
+        right=np.asarray(right_l, np.int32),
+        first=np.asarray(first_l, np.int32),
+        count=np.asarray(count_l, np.int32),
+        axis=np.asarray(axis_l, np.int32),
+        prim_ids=np.asarray(prim_ids, np.int32))

@@ -222,7 +222,11 @@ def build_alt_accel(scene, name: str, params=None):
                      n_bsp_nodes=out["n_bsp_nodes"])
         return nodes, jnp.eye(3, dtype=jnp.float32), max_leaf, stats
     else:
+        # RBSP defaults differ from kd (CreateRBSPTreeAccelerator,
+        # rbsp.cpp:551-556): traversalcost 5, emptybonus 0
         n_dirs = p.find_one_int("nbDirections", 3) if p else 3
+        tcost = p.find_one_float("traversalcost", 5.0) if p else 5.0
+        ebonus = p.find_one_float("emptybonus", 0.0) if p else 0.0
         dirs = get_directions(n_dirs)
         t = scene.triangles
         # per-prim projected bounds along every direction

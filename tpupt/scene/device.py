@@ -377,9 +377,18 @@ def upload(scene: FlatScene, bvh: BVHArrays = None,
         max_leaf = params.find_one_int("maxnodeprims", 4) if params else 4
         icost = params.find_one_float("intersectcost", 8.0) if params else 8.0
         tcost = params.find_one_float("traversalcost", 1.0) if params else 1.0
+        split = (params.find_one_string("splitmethod", "sah")
+                 if params else "sah").lower()
+        if split in ("middle", "equal", "equalcounts") and len(lo):
+            # research comparators (bvhOld.h:58-65 Middle/EqualCounts)
+            from tpupt.accel.bvh import build_bvh_split
+
+            bvh = build_bvh_split(
+                lo, hi, "middle" if split == "middle" else "equalcounts",
+                max_leaf)
         # exact sweep-SAH in native code (bvh.cpp parity) for moderate scene
         # sizes; vectorized LBVH above that (sweep is O(n log^2 n) serial)
-        if 0 < len(lo) <= 400_000:
+        elif 0 < len(lo) <= 400_000:
             try:
                 from tpupt.native import build_bvh_sah
 
