@@ -6,6 +6,23 @@ wavefront path integrator at depth 5 — full paths incl. NEE shadow rays.
 vs_baseline compares against the reference CPU binary's ~0.49 M camera
 rays/s on the same scene (700x700, 8 spp halton in 8 s, BASELINE.md).
 
+MEASUREMENT CORRECTION (round 4): rounds 1-3 reported 200M+ rays/s.
+Those numbers timed async DISPATCH: on this PJRT tunnel,
+jax.block_until_ready returns before the computation executes (work runs
+when a value is fetched), so the old _steady() measured how fast the host
+could enqueue work. Every timing below round-trips a real value. The
+honest steady-state numbers are ~10^3 smaller and carry the per-round
+history in prev_round_killeroo.
+
+Roofline context (the "is N rays/s good for this chip?" question): the
+traversal+shading pipeline is VPU/scalar-issue bound, not MXU or HBM
+bound — XLA cost analysis of one 131k-ray depth-5 batch measures ~5.8k
+f32 FLOPs/ray and (gather-inflated) ~29 KB bytes-accessed/ray, and the
+device profile shows the packet kernels spending their cycles on (8,128)
+slab tests and scalar node loads. MXU utilization is ~0 by design: ray
+tracing has no matmuls. The JSON carries est_vpu_flops_per_s so rounds
+can be compared on achieved arithmetic, not just rays.
+
 Extra keys in the same JSON object:
   fwd_bwd_rays_per_s   — camera rays/s for jax.value_and_grad of the
                          killeroo render w.r.t. {kd, ks, roughness, light L}
@@ -253,6 +270,11 @@ def main():
         # prior-round regression guard: the honest fetch-synced value from
         # the previous driver run (update when a round lands a new number)
         "prev_round_killeroo": 233070.0,
+        # achieved-arithmetic estimate: measured flops/ray (XLA cost
+        # analysis of path_li at depth 5, batch 131072: 7.62e8 flops)
+        # x achieved rays/s. v5e VPU peak is ~4e12 f32 op/s; the MXU
+        # (197 TFLOPs bf16) is idle by design in a ray tracer.
+        "est_vpu_flops_per_s": round(fwd * 5817.0, 0),
     }))
     if fwd < 0.9 * 233070.0:
         print(f"REGRESSION: killeroo {fwd:.0f} < 90% of prior 233070",
