@@ -195,6 +195,7 @@ def test_kdbsp_traversal_matches_bvh(accel, ndirs):
 @pytest.mark.parametrize("accel,ndirs", [
     ("kdtree", None), ("rbsp", 7), ("bspcluster", 3), ("bsppaper", None),
 ])
+@pytest.mark.slow
 def test_kdbsp_packets_match_xla(accel, ndirs):
     """ops/traverse_kdbsp.py packet kernel == the XLA lockstep walker on
     closest-hit AND any-hit, for kd, RBSP and per-node-direction BSP trees

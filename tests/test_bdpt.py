@@ -4,6 +4,9 @@ analytic_scenes.cpp crossing integrators over the same scene)."""
 import numpy as np
 import pytest
 
+# slow tier: all-(s,t) BDPT strategy validations
+pytestmark = pytest.mark.slow
+
 from tpupt.scene.flatten import flatten
 from tpupt.scene.loader import parse_string
 from tpupt.integrators.path import Renderer

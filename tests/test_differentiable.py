@@ -3,6 +3,7 @@ differences (the BASELINE.json 'pixel-gradient allclose' north star,
 detached-sampling estimator)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -64,6 +65,7 @@ def test_gradient_matches_finite_difference():
     np.testing.assert_allclose(float(g_L) * 2.0, float(f_L(2.0)), rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_gradients_finite_on_glossy_scene():
     txt = _SCENE.replace('Material "matte" "color Kd" [0.5 0.5 0.5]',
                          'Material "plastic" "color Kd" [.4 .3 .2] '
@@ -114,6 +116,7 @@ def _pixel_render(scene, r, params):
     return jnp.where(r.valid[:, None], L, 0.0)
 
 
+@pytest.mark.slow
 def test_pixel_gradients_match_fd_two_materials():
     """PER-PIXEL gradient parity on a 2-material scene (matte floor +
     rough-plastic sphere, delta light, depth 1): with a delta light and no
@@ -153,6 +156,7 @@ def test_pixel_gradients_match_fd_two_materials():
     assert abs(g_r) > 1e-6
 
 
+@pytest.mark.slow
 def test_pixel_gradient_full_image_fd():
     """Dense check: d(img)/d(floor kd red) for EVERY pixel vs FD."""
     scene = flatten(parse_string(_SCENE2))
@@ -176,6 +180,7 @@ _SCENE_POINT = _SCENE.replace(
     'LightSource "point" "point from" [0.5 0.5 1.5] "color I" [4 4 4]')
 
 
+@pytest.mark.slow
 def test_camera_param_gradient_matches_fd():
     """Pixel gradients flow through the CAMERA matrices (mesh.py adds
     raster_to_camera/cam_to_world to the differentiable set): nudging the

@@ -26,6 +26,9 @@ import os
 import numpy as np
 import pytest
 
+# slow tier: quarter-res reference renders, minutes each on CPU
+pytestmark = pytest.mark.slow
+
 from tpupt.integrators.path import Renderer
 from tpupt.scene.flatten import flatten, with_resolution
 from tpupt.scene.loader import parse_file

@@ -2,6 +2,10 @@
 integrators over scenes with known path-traced references)."""
 
 import numpy as np
+import pytest
+
+# slow tier: full MLT/SPPM convergence renders
+pytestmark = pytest.mark.slow
 
 from tpupt.scene.flatten import flatten
 from tpupt.scene.loader import parse_string

@@ -35,7 +35,8 @@ WorldEnd
 """
 
 
-@pytest.mark.parametrize("integrator", ["path", "bdpt"])
+@pytest.mark.parametrize("integrator", [
+    "path", pytest.param("bdpt", marks=pytest.mark.slow)])
 def test_sharded_matches_single_chip(integrator):
     if len(jax.devices()) < 8:
         pytest.skip("needs the 8-virtual-device mesh")

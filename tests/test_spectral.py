@@ -9,6 +9,7 @@ componentwise products can only approximate.
 """
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from tpupt.core import spectrum as sp
@@ -190,6 +191,7 @@ def test_smits_promotion_parity():
         np.testing.assert_allclose(back, rgb, atol=0.12)
 
 
+@pytest.mark.slow
 def test_spectral_bdpt_matches_rgb_on_gray_scene():
     """Spectral transport for bdpt (spectrum.h:50 applies to EVERY
     integrator): on a gray scene the exact-round-trip uplift makes the

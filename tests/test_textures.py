@@ -1,5 +1,6 @@
 """Texture system tests (src/textures/ parity subset)."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -28,6 +29,7 @@ def test_fbm_accumulates_octaves():
     assert v4.std() > v1.std() * 0.9  # more octaves, more detail
 
 
+@pytest.mark.slow
 def test_checkerboard_texture_renders():
     img = _render_tex("""
     Texture "check" "color" "checkerboard"
@@ -50,6 +52,7 @@ def test_constant_texture_folds():
     np.testing.assert_allclose(img_t, img_c, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_scale_texture():
     img_t = _render_tex("""
     Texture "base" "color" "constant" "color value" [0.5 0.5 0.5]

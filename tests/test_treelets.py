@@ -7,6 +7,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# slow tier: interpret-mode two-level pallas equivalences
+pytestmark = pytest.mark.slow
+
 from tpupt.accel import traverse as trav
 from tpupt.accel.treelets import build_treelets
 from tpupt.ops.traverse_stream import intersect_packets_streamed
