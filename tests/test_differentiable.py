@@ -240,3 +240,44 @@ def test_camera_param_gradient_matches_fd():
 
     gp = float(jax.grad(f_path)(0.0))
     assert np.isfinite(gp) and abs(gp) > 1e-7
+
+
+def test_camera_gradient_dryrun_scene_finite():
+    """FAST-tier regression guard for the r4 multichip failure: camera-matrix
+    gradients on the __graft_entry__ dryrun scene (plastic sphere + AREA +
+    DISTANT light — the combination whose fr_dielectric TIR lanes leaked
+    NaN through sqrt(0) in reverse mode). Asserts finite AND live grads
+    w.r.t. BOTH camera matrices through the full path estimator."""
+    from __graft_entry__ import _SCENE_TXT
+
+    scene = flatten(parse_string(_SCENE_TXT))
+    r = Renderer(scene)
+    from tpupt.cameras.perspective import generate_rays
+
+    isect, isect_p = pick_traversal(r.st)
+    # one wavefront batch is plenty to cover sphere + floor + light lanes
+    n = min(4096, int(r.px.shape[0]))
+    px, py, valid = r.px[:n], r.py[:n], r.valid[:n]
+
+    def f(params):
+        ds = r.ds._replace(**params)
+        jx, jy = r.sampler.camera_jitter(px, py, jnp.uint32(0))
+        pr = jnp.stack([px.astype(jnp.float32) + jx,
+                        py.astype(jnp.float32) + jy], -1)
+        o, d = generate_rays(scene.camera.type, ds.raster_to_camera,
+                             ds.cam_to_world, pr, jnp.zeros((n, 2)),
+                             0.0, 1e6)
+        L, _ = path_li(ds, r.st, r.sampler, scene.integrator.max_depth,
+                       1.0, px, py, jnp.uint32(0), o, d,
+                       isect=isect, isect_p=isect_p, unroll=True)
+        return jnp.mean(jnp.where(valid[:, None], L, 0.0))
+
+    params = {"cam_to_world": r.ds.cam_to_world,
+              "raster_to_camera": r.ds.raster_to_camera,
+              "mat_kd": r.ds.mat_kd, "light_L": r.ds.light_L}
+    grads = jax.grad(f)(params)
+    for k, g in grads.items():
+        g = np.asarray(g)
+        assert np.isfinite(g).all(), f"non-finite grads in {k}"
+    assert np.abs(np.asarray(grads["cam_to_world"])).max() > 1e-8
+    assert np.abs(np.asarray(grads["mat_kd"])).max() > 1e-8

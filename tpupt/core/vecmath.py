@@ -46,6 +46,26 @@ def normalize(v: jnp.ndarray) -> jnp.ndarray:
     return v * jax.lax.rsqrt(jnp.maximum(length_sq(v), 1e-30))[..., None]
 
 
+def safe_sqrt(x: jnp.ndarray) -> jnp.ndarray:
+    """sqrt(max(x, 0)) that stays finite in REVERSE mode at x <= 0.
+
+    `sqrt(maximum(x, 0.0))` has derivative 0.5/sqrt(0) = inf on clamped
+    lanes, and a masked-out lane's zero cotangent times inf is NaN — the
+    classic single-`where` leak. Double-`where` keeps the sqrt input
+    strictly positive so its partial is finite (then multiplied by the
+    correct zero cotangent). Primal value identical."""
+    pos = x > 0.0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
+
+
+def safe_div(a: jnp.ndarray, b: jnp.ndarray, eps: float = 0.0):
+    """a/b with the divide masked where |b| <= eps (0 there). Both the
+    primal AND the reverse-mode partials are finite on masked lanes
+    (double-`where`, see safe_sqrt)."""
+    ok = jnp.abs(b) > eps
+    return jnp.where(ok, a / jnp.where(ok, b, 1.0), 0.0)
+
+
 def distance(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return length(a - b)
 
@@ -100,7 +120,7 @@ def refract(wi: jnp.ndarray, n: jnp.ndarray, eta):
     sin2_i = jnp.maximum(0.0, 1.0 - cos_i * cos_i)
     sin2_t = eta * eta * sin2_i
     valid = sin2_t < 1.0
-    cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
+    cos_t = safe_sqrt(1.0 - sin2_t)
     wt = eta[..., None] * (-wi) + (eta * cos_i - cos_t)[..., None] * n
     return valid, wt
 

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from tpupt.core.sampling import cosine_sample_hemisphere
-from tpupt.core.vecmath import coordinate_system, dot, normalize
+from tpupt.core.vecmath import coordinate_system, dot, normalize, safe_sqrt
 
 INV_PI = 0.3183098861837907
 
@@ -187,7 +187,9 @@ def fr_dielectric(cos_i, eta):
     ci = jnp.abs(cos_i)
     sin2_t = jnp.maximum(0.0, 1.0 - ci * ci) / (eta_rel * eta_rel)
     tir = sin2_t >= 1.0
-    ct = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
+    # safe_sqrt, not sqrt(max(.,0)): TIR lanes hit sqrt(0) whose inf
+    # partial turns masked-out cotangents into NaN (cam-matrix grads)
+    ct = safe_sqrt(1.0 - sin2_t)
     r_par = (eta_rel * ci - ct) / jnp.maximum(eta_rel * ci + ct, 1e-12)
     r_perp = (ci - eta_rel * ct) / jnp.maximum(ci + eta_rel * ct, 1e-12)
     fr = 0.5 * (r_par * r_par + r_perp * r_perp)
@@ -225,16 +227,17 @@ def tr_d(wh, ax, ay):
     c2 = wh[..., 2] * wh[..., 2]
     e = wh[..., 0] ** 2 / (ax * ax) + wh[..., 1] ** 2 / (ay * ay) + c2
     denom = jnp.pi * ax * ay * e * e
-    return jnp.where(denom > 1e-20, 1.0 / denom, 0.0) * jnp.where(c2 > 0, 1.0, 0.0)
+    ok = denom > 1e-20
+    return jnp.where(ok, 1.0 / jnp.where(ok, denom, 1.0), 0.0) \
+        * jnp.where(c2 > 0, 1.0, 0.0)
 
 
 def tr_lambda(w, ax, ay):
     """Smith masking Lambda (microfacet.cpp TrowbridgeReitz::Lambda)."""
     c = jnp.abs(w[..., 2])
     s2 = jnp.maximum(0.0, 1.0 - c * c)
-    inv_s = jnp.where(s2 > 0, 1.0, 0.0)
-    # directional alpha
-    s = jnp.sqrt(s2)
+    # directional alpha (safe_sqrt: s2 == 0 on axis-aligned lanes)
+    s = safe_sqrt(s2)
     cos_phi = jnp.where(s > 1e-8, w[..., 0] / jnp.maximum(s, 1e-8), 1.0)
     sin_phi = jnp.where(s > 1e-8, w[..., 1] / jnp.maximum(s, 1e-8), 0.0)
     alpha2 = cos_phi**2 * ax * ax + sin_phi**2 * ay * ay
@@ -270,8 +273,8 @@ def tr_sample_wh(wo, u1, u2, ax, ay):
     p1 = r * jnp.cos(phi)
     p2 = r * jnp.sin(phi)
     s = 0.5 * (1.0 + vh[..., 2])
-    p2 = (1.0 - s) * jnp.sqrt(jnp.maximum(1.0 - p1 * p1, 0.0)) + s * p2
-    pz = jnp.sqrt(jnp.maximum(1.0 - p1 * p1 - p2 * p2, 0.0))
+    p2 = (1.0 - s) * safe_sqrt(1.0 - p1 * p1) + s * p2
+    pz = safe_sqrt(1.0 - p1 * p1 - p2 * p2)
     nh = p1[..., None] * t1 + p2[..., None] * t2 + pz[..., None] * vh
     wh = normalize(jnp.stack(
         [ax * nh[..., 0], ay * nh[..., 1], jnp.maximum(nh[..., 2], 1e-6)], -1))
@@ -303,7 +306,7 @@ def beckmann_d(wh, ax, ay):
 def beckmann_lambda(w, ax, ay):
     c = jnp.abs(w[..., 2])
     s2 = jnp.maximum(0.0, 1.0 - c * c)
-    s = jnp.sqrt(s2)
+    s = safe_sqrt(s2)
     cos_phi2 = jnp.where(s > 1e-8, (w[..., 0] / jnp.maximum(s, 1e-8)) ** 2, 1.0)
     sin_phi2 = jnp.where(s > 1e-8, (w[..., 1] / jnp.maximum(s, 1e-8)) ** 2, 0.0)
     alpha = jnp.sqrt(cos_phi2 * ax * ax + sin_phi2 * ay * ay)
@@ -514,8 +517,8 @@ def _disney_lobe_weights(mp: MatParams):
 
 def _oren_nayar_f(mp: MatParams, wo, wi):
     """reflection.cpp OrenNayar::f."""
-    si = jnp.sqrt(jnp.maximum(0.0, 1.0 - wi[..., 2] ** 2))
-    so = jnp.sqrt(jnp.maximum(0.0, 1.0 - wo[..., 2] ** 2))
+    si = safe_sqrt(1.0 - wi[..., 2] ** 2)
+    so = safe_sqrt(1.0 - wo[..., 2] ** 2)
     # cos(phi_i - phi_o)
     denom = jnp.maximum(si * so, 1e-8)
     cos_dphi = jnp.clip(
@@ -761,7 +764,7 @@ def sample(mp: MatParams, wo, u_lobe, u1, u2, features=frozenset()):
     cos_i = jnp.abs(cos_theta(wo))
     sin2_t = eta_ratio * eta_ratio * jnp.maximum(0.0, 1.0 - cos_i * cos_i)
     tir = sin2_t >= 1.0
-    cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
+    cos_t = safe_sqrt(1.0 - sin2_t)
     wi_refr = eta_ratio[..., None] * (-wo) + (eta_ratio * cos_i - cos_t)[..., None] * nz
 
     # ---------------- per-material assembly ----------------
@@ -810,7 +813,7 @@ def sample(mp: MatParams, wo, u_lobe, u1, u2, features=frozenset()):
     ci_w = dot(wo, wh)  # wh from the shared VNDF draw (wo-side oriented)
     sin2_w = eta_ratio * eta_ratio * jnp.maximum(0.0, 1.0 - ci_w * ci_w)
     tir_w = sin2_w >= 1.0
-    ct_w = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_w))
+    ct_w = safe_sqrt(1.0 - sin2_w)
     wi_mft = (-eta_ratio[..., None] * wo
               + (eta_ratio * ci_w - ct_w)[..., None] * wh)
     tr_b = jnp.floor(jnp.clip(u_lobe, 0.0, 0.999999) * 4.0)
@@ -856,7 +859,7 @@ def sample(mp: MatParams, wo, u_lobe, u1, u2, features=frozenset()):
         ci_t = dot(wo, wh_t)
         sin2_tt = eta_rt * eta_rt * jnp.maximum(0.0, 1.0 - ci_t * ci_t)
         tir_t = sin2_tt >= 1.0
-        ct_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_tt))
+        ct_t = safe_sqrt(1.0 - sin2_tt)
         wi_refr_t = (-eta_rt[..., None] * wo
                      + (eta_rt * ci_t - ct_t)[..., None] * wh_t)
         wi_down = wi_diff * jnp.array([1.0, 1.0, -1.0])
