@@ -229,3 +229,35 @@ def test_kdbsp_packets_match_xla(accel, ndirs):
     h_any, _ = intersect_kdbsp_packets(ds, st, o2, d2, tmax, any_hit=True,
                                        interpret=True)
     assert (np.array(h_any.valid) == v1).all()
+
+
+@pytest.mark.parametrize("accel,ndirs", [("kdtree", None), ("rbsp", 3)])
+def test_kdbsp_packets_smoke_fast(accel, ndirs):
+    """FAST-tier smoke of the Pallas packet walker (interpret mode, one
+    1024-ray packet): the default CI run must exercise the kernel that is
+    the production kd/BSP path on TPU — including an RBSP node table,
+    whose 1M-node killeroo variant faulted the chip in round 4 while only
+    kd tables were ever tested."""
+    from tpupt.ops.traverse_kdbsp import intersect_kdbsp_packets
+
+    sc = flatten(parse_string(_SCENE))
+    ds, st = upload(sc)
+    ps = ParamSet()
+    if ndirs:
+        ps.add("integer nbDirections", [ndirs])
+    nodes, dirs, max_leaf, stats = build_alt_accel(sc, accel, ps)
+    assert stats["tree_depth"] >= 1
+    ds = ds._replace(alt_pack=nodes["pack"],
+                     alt_prim_rows=nodes["prim_rows"])
+    o, d = _camera_rays(sc, ds, res=32)  # exactly one 1024-ray packet
+    tmax = jnp.full(o.shape[0], jnp.inf)
+    h_ref, _ = intersect_kdbsp(nodes, dirs, ds, st, o, d, tmax, max_leaf)
+    h, s = intersect_kdbsp_packets(ds, st, o, d, tmax, interpret=True,
+                                   with_stats=True)
+    v1, v2 = np.array(h_ref.valid), np.array(h.valid)
+    assert (v1 == v2).all()
+    m = v1 & v2
+    assert (np.array(h_ref.prim)[m] == np.array(h.prim)[m]).all()
+    np.testing.assert_allclose(np.array(h_ref.t)[m], np.array(h.t)[m],
+                               rtol=1e-3)
+    assert int(np.asarray(s.node_visits).sum()) > 0

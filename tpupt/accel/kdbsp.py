@@ -141,15 +141,44 @@ def pack_kdbsp_nodes(nodes, dirs):
     prim_ids4 = np.concatenate(chunks_i)
     above4 = np.where(is_leaf, starts4, above).astype(np.int32)
 
-    pack = np.zeros((k, 1, 8), np.float32)
-    pack[:, 0, 0:3] = ndir
-    pack[:, 0, 3] = split
-    pack[:, 0, 4] = is_leaf.astype(np.float32)
-    pack[:, 0, 5] = above4.astype(np.float32)
-    pack[:, 0, 6] = nprims.astype(np.float32)
+    # DENSE tiled node table (K4, 8, 128): node i lives in tile i>>7 at
+    # lane i&127, fields down the sublanes. A (K,1,8) row layout pads the
+    # lane dim to 128 -> 512 B/node in VMEM (measured: a 1M-node rbsp
+    # table asked for 512 MB and faulted the chip); the tiled layout is a
+    # true 32 B/node, so killeroo rbsp-3 (1.06M nodes) is 34 MB and fits
+    # the 128 MB v5e VMEM with room for the interval stacks. The kernel
+    # extracts per-node fields with a lane-mask reduction (dynamic-lane
+    # scalar loads are not legal in Mosaic).
+    pack_rows = np.zeros((k, 8), np.float32)
+    pack_rows[:, 0:3] = ndir
+    pack_rows[:, 3] = split
+    pack_rows[:, 4] = is_leaf.astype(np.float32)
+    pack_rows[:, 5] = above4.astype(np.float32)
+    pack_rows[:, 6] = nprims.astype(np.float32)
+    k4 = (k + 127) // 128
+    pad_n = k4 * 128 - k
+    if pad_n:
+        # padded slots are 0-prim leaves (never reachable, but harmless)
+        pad_rows = np.zeros((pad_n, 8), np.float32)
+        pad_rows[:, 4] = 1.0
+        pack_rows = np.concatenate([pack_rows, pad_rows])
+    pack = pack_rows.reshape(k4, 128, 8).transpose(0, 2, 1).copy()
     assert k < (1 << 24) and len(prim_rows4) < (1 << 24), \
         "node/prim ids must stay exact in f32"
-    return pack, prim_rows4, prim_ids4, above4
+
+    # tree depth for the packet kernel's fixed-size stacks (the DFS pushes
+    # at most depth+1 entries; a deeper tree would overflow nstk/lo_stk)
+    depth = np.zeros(k, np.int32)
+    interior = np.flatnonzero(~is_leaf)
+    assert (above[interior] > interior).all(), "preorder child-id invariant"
+    for i in interior:  # children always have larger ids (preorder flatten)
+        dn = depth[i] + 1
+        if depth[i + 1] < dn:
+            depth[i + 1] = dn
+        a = above[i]
+        if depth[a] < dn:
+            depth[a] = dn
+    return pack, prim_rows4, prim_ids4, above4, int(depth.max()) + 1
 
 
 def build_alt_accel(scene, name: str, params=None):
@@ -203,7 +232,7 @@ def build_alt_accel(scene, name: str, params=None):
                    above=out["above"], nprims=out["nprims"],
                    prim_ids=out["prim_ids"], prim_rows=prim_rows,
                    ndir=out["ndir"])
-        pack, prim_rows4, prim_ids4, above4 = pack_kdbsp_nodes(
+        pack, prim_rows4, prim_ids4, above4, tree_depth = pack_kdbsp_nodes(
             raw, np.eye(3, dtype=np.float32))
         nodes = dict(
             flags=jnp.asarray(out["flags"]),
@@ -219,7 +248,7 @@ def build_alt_accel(scene, name: str, params=None):
                      build_seconds=out["build_seconds"], max_leaf=max_leaf,
                      n_leaves=int((out["flags"] == 1).sum()),
                      n_kd_nodes=out["n_kd_nodes"],
-                     n_bsp_nodes=out["n_bsp_nodes"])
+                     n_bsp_nodes=out["n_bsp_nodes"], tree_depth=tree_depth)
         return nodes, jnp.eye(3, dtype=jnp.float32), max_leaf, stats
     else:
         # RBSP defaults differ from kd (CreateRBSPTreeAccelerator,
@@ -258,7 +287,7 @@ def build_alt_accel(scene, name: str, params=None):
     raw = dict(flags=out["flags"], split=out["split"], above=out["above"],
                nprims=out["nprims"], prim_ids=out["prim_ids"],
                prim_rows=prim_rows)
-    pack, prim_rows4, prim_ids4, above4 = pack_kdbsp_nodes(
+    pack, prim_rows4, prim_ids4, above4, tree_depth = pack_kdbsp_nodes(
         raw, dirs.astype(np.float32))
     nodes = dict(
         flags=jnp.asarray(out["flags"]),
@@ -270,7 +299,9 @@ def build_alt_accel(scene, name: str, params=None):
         pack=jnp.asarray(pack),
     )
     stats = dict(n_nodes=out["n_nodes"], build_seconds=out["build_seconds"],
-                 max_leaf=max_leaf, n_leaves=int((out["flags"] >= len(dirs)).sum()))
+                 max_leaf=max_leaf,
+                 n_leaves=int((out["flags"] >= len(dirs)).sum()),
+                 tree_depth=tree_depth)
     return nodes, jnp.asarray(dirs.astype(np.float32)), max_leaf, stats
 
 

@@ -752,7 +752,8 @@ class Renderer:
                                                   kdbsp_vmem_ok)
 
             on_tpu = jax.default_backend() in ("tpu", "axon")
-            if on_tpu and kdbsp_vmem_ok(nodes["pack"].shape[0]):
+            if on_tpu and kdbsp_vmem_ok(int(nodes["flags"].shape[0]),
+                                        astats.get("tree_depth", 0)):
                 # Pallas packet walker (ops/traverse_kdbsp.py) — the XLA
                 # lockstep walker runs ~100x slower on incoherent bounces
                 def isect(ds, st, o, d, tmax, any_hit=False, **kw):

@@ -8,12 +8,19 @@ bounce rays, ~100x slower than the reference's per-ray recursion
 coherent PACKET kd traversal with per-packet scalar node stacks and
 per-ray [t_lo, t_hi] interval tiles.
 
-  * the packed node table lives in VMEM (one 8-float row per node:
-    split direction xyz, split offset, leaf flag, above-child/prim-row,
-    prim count, spare) — kd/RBSP/BSP all reduce to the same walker
-    because the split plane is carried as an explicit direction, so the
-    projected plane distance is a 6-flop dot per ray (rbsp.cpp:68-80
-    does the same with precomputed projections);
+  * the packed node table lives in VMEM as DENSE (K/128, 8, 128) tiles
+    (node i -> tile i>>7, lane i&127, 8 fields down the sublanes: split
+    direction xyz, split offset, leaf flag, above-child/prim-row, prim
+    count, spare). Dense matters: a (K,1,8) row layout pads each node to
+    a full 512-byte lane row in VMEM, which capped the walker at ~200k
+    nodes and faulted the chip on the 1.06M-node killeroo rbsp-3 table;
+    tiled it is a true 32 B/node (34 MB), resident in the 128 MB v5e
+    VMEM. Per-node fields come out with one dynamic-major tile load + a
+    lane-mask reduction (dynamic-lane scalar loads are illegal in
+    Mosaic). kd/RBSP/BSP all reduce to the same walker because the
+    split plane is carried as an explicit direction, so the projected
+    plane distance is a 6-flop dot per ray (rbsp.cpp:68-80 does the
+    same with precomputed projections);
   * the stack holds (node, per-ray interval tile) pairs: node ids in
     SMEM, interval tiles in VMEM scratch — a ray is active in a popped
     cell iff its interval is nonempty and nearer than its current best
@@ -187,6 +194,8 @@ def _kernel_kdbsp(nodes_ref, prims_hbm,
     lo_stk[pl.ds(0, ROWS), :] = t0_ref[0]
     hi_stk[pl.ds(0, ROWS), :] = t1_ref[0]
 
+    lanes128 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+
     def cond(sp):
         return sp > 0
 
@@ -201,18 +210,25 @@ def _kernel_kdbsp(nodes_ref, prims_hbm,
             act = act & (gid_ref[0] < 0)
         run = jnp.any(act)
 
-        is_leaf = nodes_ref[node, 0, 4] > 0.5
+        # ---- node-field extraction from the dense tile: one (8,128)
+        # load + lane-mask reduction; split-plane fields stay in the
+        # vector domain ((8,1) broadcasts), control fields reduce to
+        # scalars ----
+        tile = nodes_ref[node >> 7]
+        sel = jnp.where(lanes128 == (node & 127), tile, 0.0)
+        fields = jnp.sum(sel, axis=1, keepdims=True)  # (8,1)
+        is_leaf = jnp.sum(sel[4:5, :]) > 0.5
         do_int = run & ~is_leaf
         do_leaf = run & is_leaf
 
         # ---- interior split (computed unconditionally — the loads read
         # leaf cols under a different interpretation but results are
         # gated; this keeps the hot path branch-free) ----
-        nx = nodes_ref[node, 0, 0]
-        ny = nodes_ref[node, 0, 1]
-        nz = nodes_ref[node, 0, 2]
-        split = nodes_ref[node, 0, 3]
-        c5 = nodes_ref[node, 0, 5].astype(jnp.int32)
+        nx = fields[0:1]
+        ny = fields[1:2]
+        nz = fields[2:3]
+        split = fields[3:4]
+        c5 = jnp.sum(sel[5:6, :]).astype(jnp.int32)
 
         op = ox * nx + oy * ny + oz * nz
         dp = dx * nx + dy * ny + dz * nz
@@ -260,7 +276,7 @@ def _kernel_kdbsp(nodes_ref, prims_hbm,
         sp = push(sp, node + 1, lo_b, hi_b, want_b & below_near)
 
         # ---- leaf: double-buffered 16-prim chunks DMA'd from HBM ----
-        cnt0 = nodes_ref[node, 0, 6].astype(jnp.int32)
+        cnt0 = jnp.sum(sel[6:7, :]).astype(jnp.int32)
         cnt = jnp.where(do_leaf, cnt0, 0)
         if with_stats:
             leaves_ref[0] = leaves_ref[0] + jnp.where(
@@ -352,9 +368,14 @@ def _traverse_kdbsp(nodes_pack, prim_rows4,
     )(nodes_pack, prim_rows4, ox, oy, oz, dx, dy, dz, t0, t1, tmax)
 
 
-def kdbsp_vmem_ok(n_nodes: int) -> bool:
-    """Node table (32 B/node) + two interval stacks must fit VMEM."""
-    return n_nodes * 32 + 2 * STACK * PACK * 4 < 10 * 1024 * 1024
+def kdbsp_vmem_ok(n_nodes: int, tree_depth: int = 0) -> bool:
+    """Node tiles (a true 32 B/node in the dense layout) + the two
+    interval stacks must fit the 128 MB v5e VMEM with headroom for ray
+    tiles/outputs and the bounce-loop's stack-allocated operands, and
+    the tree depth must fit the fixed DFS stacks (the packet DFS pushes
+    at most depth+1 entries; deeper trees would write past nstk)."""
+    fits = n_nodes * 32 + 2 * STACK * PACK * 4 < 56 * 1024 * 1024
+    return fits and tree_depth + 2 <= STACK
 
 
 def intersect_kdbsp_packets(ds, st, o, d, tmax, any_hit=False,

@@ -170,7 +170,7 @@ class DeviceScene(NamedTuple):
     alt_prim_rows: jnp.ndarray = None  # (P,32) f32 leaf-order packed prims
     alt_ndir: jnp.ndarray = None      # (K,3) per-node split dirs (BSP only)
     alt_dirs: jnp.ndarray = None      # (D,3) shared direction table
-    alt_pack: jnp.ndarray = None      # (K,1,8) packed rows (Pallas kernel)
+    alt_pack: jnp.ndarray = None      # (K/128,8,128) dense node tiles (Pallas)
 
 
 class SceneStatics(NamedTuple):
