@@ -324,16 +324,17 @@ def _smits_uplift(rgb: jnp.ndarray, basis: np.ndarray) -> jnp.ndarray:
 
 def rgb_refl_to_spectrum(rgb: jnp.ndarray) -> jnp.ndarray:
     """Reference-parity reflectance promotion (spectrum.cpp:289 with the
-    RGBRefl2Spect tables; scale 0.94 per the reference)."""
+    RGBRefl2Spect tables; final scale 0.94 per RGBSpectrum::ToSpectrum)."""
     tabs = smits_tables()
     if tabs is None:
         return rgb_to_spectrum(rgb)
-    return _smits_uplift(rgb, tabs["refl"])
+    return 0.94 * _smits_uplift(rgb, tabs["refl"])
 
 
 def rgb_illum_to_spectrum(rgb: jnp.ndarray) -> jnp.ndarray:
-    """Reference-parity illuminant promotion (RGBIllum2Spect tables)."""
+    """Reference-parity illuminant promotion (RGBIllum2Spect tables;
+    final scale 0.86445 per RGBSpectrum::ToSpectrum)."""
     tabs = smits_tables()
     if tabs is None:
         return rgb_to_spectrum(rgb)
-    return _smits_uplift(rgb, tabs["illum"])
+    return 0.86445 * _smits_uplift(rgb, tabs["illum"])
