@@ -38,7 +38,8 @@ _BIG = 3.0e38  # plain float: jnp scalars would be captured consts in the kernel
 
 def traverse_loop(node_at, prim_at, rays, t_ref, gid_ref, b1_ref, b2_ref,
                   stack_ref, *, max_leaf: int, any_hit: bool,
-                  has_spheres: bool, with_stats: bool, sp_init=None):
+                  has_spheres: bool, with_stats: bool, sp_init=None,
+                  node_tile=None, prim_tile=None):
     """The packet traversal while-loop, shared by the single-level kernel
     and the two-level streamed kernel (ops/traverse_stream.py).
 
@@ -49,7 +50,15 @@ def traverse_loop(node_at, prim_at, rays, t_ref, gid_ref, b1_ref, b2_ref,
     carry current-best hits ACROSS calls (the streamed kernel accumulates
     over several treelets into the same output tiles). stack_ref[0] must
     hold the local root id; sp_init=0 skips the walk (dead grid step).
-    Returns the (nodes, leaves, tests) packet counters."""
+    Returns the (nodes, leaves, tests) packet counters.
+
+    node_tile(node) -> (8, 8), when given, fetches a whole wide node with
+    ONE dynamic-major tile load; the 6 bounds per child then stay in the
+    vector domain as (1, 1)-slice broadcasts (same pattern as the kd/BSP
+    dense-tile walker, traverse_kdbsp.py) instead of 48 dynamic scalar
+    VMEM loads per pop — the interior loop is scalar-issue-bound, so the
+    collapsed loads are most of the pop cost. Only the m6/m7 control
+    fields still load as scalars (they drive stack pushes)."""
     (ox, oy, oz, dx, dy, dz, ix, iy, iz,
      kx, ky, kz, sx, sy, sz, o_kx, o_ky, o_kz) = rays
     # FMA form of the slab test: (lo - o) * inv == lo * inv - o * inv,
@@ -78,18 +87,45 @@ def traverse_loop(node_at, prim_at, rays, t_ref, gid_ref, b1_ref, b2_ref,
         def interior(sp):
             node = raw
             t_cur = t_ref[0]
+            if node_tile is not None:
+                # ONE dynamic-major (8, 8) load for the whole wide node,
+                # then lane-masked reductions give each bounds field as an
+                # (8, 1) per-child column (child = sublane). The per-child
+                # (1, 1) sublane slices below broadcast against the packet
+                # tile in the vector domain (kdbsp dense-tile pattern —
+                # Mosaic implements sublane-offset broadcasts; lane-offset
+                # ones are "Not implemented"). Replaces 48 of the 64
+                # dynamic scalar VMEM loads per pop in this
+                # scalar-issue-bound loop.
+                tile = node_tile(node)
+                lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, 8), 1)
+
+                def fcol(f):
+                    return jnp.sum(jnp.where(lane8 == f, tile, 0.0),
+                                   axis=1, keepdims=True)
+
+                f_lox, f_loy, f_loz = fcol(0), fcol(1), fcol(2)
+                f_hix, f_hiy, f_hiz = fcol(3), fcol(4), fcol(5)
             # static-unrolled 8 children; bounds are scalar loads broadcast
             # against the packet tile. (An approximate front-to-back push
             # order via a scalar centroid-key sorting network was measured
             # 2x SLOWER than slot order — the loop is scalar-issue-bound,
             # so ~20 extra scalar ops per child dominate the visits saved.)
             for c in range(8):
-                lo_x = node_at(node, c, 0)
-                lo_y = node_at(node, c, 1)
-                lo_z = node_at(node, c, 2)
-                hi_x = node_at(node, c, 3)
-                hi_y = node_at(node, c, 4)
-                hi_z = node_at(node, c, 5)
+                if node_tile is not None:
+                    lo_x = f_lox[c:c + 1]
+                    lo_y = f_loy[c:c + 1]
+                    lo_z = f_loz[c:c + 1]
+                    hi_x = f_hix[c:c + 1]
+                    hi_y = f_hiy[c:c + 1]
+                    hi_z = f_hiz[c:c + 1]
+                else:
+                    lo_x = node_at(node, c, 0)
+                    lo_y = node_at(node, c, 1)
+                    lo_z = node_at(node, c, 2)
+                    hi_x = node_at(node, c, 3)
+                    hi_y = node_at(node, c, 4)
+                    hi_z = node_at(node, c, 5)
                 t1x = lo_x * ix - oix
                 t2x = hi_x * ix - oix
                 t1y = lo_y * iy - oiy
@@ -128,6 +164,11 @@ def traverse_loop(node_at, prim_at, rays, t_ref, gid_ref, b1_ref, b2_ref,
             first = v >> 6
             cnt = v & 63
             for k in range(max_leaf):
+                # (prim rows stay scalar loads: a (1, 1) slice at lane
+                # offset `col` cannot broadcast in Mosaic — "broadcast in
+                # both sublanes and lanes" is unimplemented — and masked
+                # lane reductions per column cost more vector ops than the
+                # ~13 scalar loads they would replace)
                 def ps(col, k=k):
                     return prim_at(first, k, col)
 
@@ -261,7 +302,8 @@ def _kernel(nodes_ref, prims_ref,
         lambda first, k, col: prims_ref[first + k, col],
         rays, t_ref, gid_ref, b1_ref, b2_ref, stack_ref,
         max_leaf=max_leaf, any_hit=any_hit, has_spheres=has_spheres,
-        with_stats=with_stats)
+        with_stats=with_stats,
+        node_tile=lambda n: nodes_ref[n])
     # broadcast the packet-level counters to the per-ray tiles once
     visits_ref[0] = jnp.full((8, 128), n_nodes, jnp.int32)
     leaves_ref[0] = jnp.full((8, 128), n_leaves, jnp.int32)
