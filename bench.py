@@ -98,31 +98,26 @@ def bench_killeroo():
     dt = _steady(one_spp, reps=2, inner=1)
     fwd = RES * RES / dt
 
-    # ---- fwd+bwd: value_and_grad of the render w.r.t. material/light ----
-    from functools import partial
+    # ---- fwd+bwd: value_and_grad of the SAME full-spp film step the fwd
+    # rung times (every batch + film scatter), so the two rates are rates
+    # of the same program and fwd_bwd <= fwd by construction (r4's rung
+    # timed a different program — one filmless batch at rr_threshold 1 —
+    # and reported fwd_bwd > fwd, an apples-to-oranges artifact).
+    # jax.checkpoint per batch bounds residual memory to one batch's
+    # unrolled bounce chain (the backward replays each batch's forward).
+    import jax
 
-    from tpupt.cameras.perspective import generate_rays
-    from tpupt.integrators.path import path_li, pick_traversal
-
-    isect, isect_p = pick_traversal(r.st, with_stats=False)
-    px, py, valid = r.px[: r.batch], r.py[: r.batch], r.valid[: r.batch]
-    ds0, st = r.ds, r.st
-    cam = scene.camera
+    ds0 = r.ds
 
     def loss(params):
         ds = ds0._replace(**params)
-        jx, jy = r.sampler.camera_jitter(px, py, jnp.uint32(0))
-        pr = jnp.stack([px.astype(jnp.float32) + jx,
-                        py.astype(jnp.float32) + jy], -1)
-        o, d = generate_rays(cam.type, ds.raster_to_camera, ds.cam_to_world,
-                             pr, jnp.zeros((r.batch, 2)), 0.0, 1e6)
-        # unroll: reverse-AD of the fori_loop wraps the pallas traversal in
-        # a closed_call whose operands Mosaic stack-allocates in scoped VMEM
-        # (32 MB > 16 MB on v5e) — straight-line bounces keep it streamable
-        L, _ = path_li(ds, st, r.sampler, scene.integrator.max_depth, 1.0,
-                       px, py, jnp.uint32(0), o, d,
-                       isect=isect, isect_p=isect_p, unroll=True)
-        return jnp.sum(jnp.where(valid[:, None], L, 0.0))
+        f = new_film(RES, RES)
+        for i in range(r.n_batches):
+            step = jax.checkpoint(
+                lambda ds_, f_, px_b, py_b, v_b: r._step_py(
+                    ds_, f_, jnp.uint32(0), px_b, py_b, v_b))
+            f = step(ds, f, r._px_b[i], r._py_b[i], r._valid_b[i])
+        return jnp.sum(f.rgb)
 
     try:
         params = {"mat_kd": ds0.mat_kd, "mat_ks": ds0.mat_ks,
@@ -135,7 +130,7 @@ def bench_killeroo():
 
         _fetch(one_grad())  # compile + first execution
         dt_g = _steady(one_grad, reps=2, inner=1)
-        fwd_bwd = r.batch / dt_g
+        fwd_bwd = RES * RES / dt_g
     except Exception as e:
         fwd_bwd = 0.0
         print(f"fwd+bwd bench failed: {e!r}", file=sys.stderr)

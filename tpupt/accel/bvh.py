@@ -286,7 +286,7 @@ def subtree_ranges(b: BVHArrays):
 
 
 def collapse_to_wide(b: BVHArrays, width: int = WIDE_WIDTH,
-                     leaf_merge: int = 8):
+                     leaf_merge: int = 4):
     """Collapse the binary BVH into a width-ary BVH packed one node per
     64-float row — the TPU-native node layout: a single row gather per
     traversal step fetches all children's bounds + metadata (TPU gathers
@@ -314,9 +314,13 @@ def collapse_to_wide(b: BVHArrays, width: int = WIDE_WIDTH,
         return row, None
 
     lo, hi, right, first, count = b.lo, b.hi, b.right, b.first, b.count
-    # packet economics: a leaf of <= 8 prims costs ONE (8, 32) slice load,
-    # so merge small subtrees into fat leaves regardless of scalar SAH
-    # (sweep-SAH's 1-prim leaves would octuple the node count)
+    # packet economics: merge small subtrees into fat leaves regardless of
+    # scalar SAH (sweep-SAH's 1-prim leaves would explode the node count),
+    # but keep leaves SMALL: each leaf pop runs max_leaf statically
+    # unrolled ~110-vector-op packet prim tests, which dominate traversal
+    # time - killeroo whole-render measured 1378/1266/1317 ms at
+    # leaf_merge 8/4/6 (interior pops after the dense-tile load are much
+    # cheaper than the prim tests they avoid)
     sub_first, sub_last = subtree_ranges(b)
     sub_count = sub_last - sub_first + 1
 
