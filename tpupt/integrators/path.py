@@ -163,6 +163,14 @@ def ray_sort_keys(o, d, tmax, world_lo, world_hi, spatial: bool = False):
     octant = ((d[:, 0] < 0).astype(jnp.uint32) * 4
               + (d[:, 1] < 0).astype(jnp.uint32) * 2
               + (d[:, 2] < 0).astype(jnp.uint32))
+    # NOTE: adding dominant-axis bits after the octant (to make packets
+    # kz-uniform for the kernels' static-permutation leaf fast path) was
+    # measured SLOWER end-to-end (1266 -> 1311 ms killeroo): splitting
+    # direction classes ahead of the Morton bits fragments origin
+    # clusters, and the extra node pops cost more than the collapsed
+    # permutation where-chains save. Packets that happen to be kz-uniform
+    # still take the fast leaf branch via the per-packet dispatch in
+    # traverse_loop.
     ext = jnp.maximum(world_hi - world_lo, 1e-6)
     q = jnp.clip((o - world_lo) / ext * 511.0, 0.0, 511.0).astype(jnp.uint32)
     morton = (_expand_bits9(q[:, 0]) << jnp.uint32(2)) \

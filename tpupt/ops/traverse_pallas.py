@@ -39,7 +39,7 @@ _BIG = 3.0e38  # plain float: jnp scalars would be captured consts in the kernel
 def traverse_loop(node_at, prim_at, rays, t_ref, gid_ref, b1_ref, b2_ref,
                   stack_ref, *, max_leaf: int, any_hit: bool,
                   has_spheres: bool, with_stats: bool, sp_init=None,
-                  node_tile=None, prim_tile=None):
+                  node_tile=None, prim_tile=None, perm_info=None):
     """The packet traversal while-loop, shared by the single-level kernel
     and the two-level streamed kernel (ops/traverse_stream.py).
 
@@ -159,7 +159,7 @@ def traverse_loop(node_at, prim_at, rays, t_ref, gid_ref, b1_ref, b2_ref,
                 sp = sp + jnp.where(any_c, 1, 0)
             return sp
 
-        def leaf(sp):
+        def leaf(sp, perm=None):
             v = -raw - 1
             first = v >> 6
             cnt = v & 63
@@ -178,12 +178,25 @@ def traverse_loop(node_at, prim_at, rays, t_ref, gid_ref, b1_ref, b2_ref,
                 valid = k < cnt
 
                 # ---- watertight triangle test (triangle.cpp:188) ----
-                def permsel(col):
-                    px, py, pz = ps(col), ps(col + 1), ps(col + 2)
-                    ax_ = jnp.where(kx == 0, px, jnp.where(kx == 1, py, pz))
-                    ay_ = jnp.where(ky == 0, px, jnp.where(ky == 1, py, pz))
-                    az_ = jnp.where(kz == 0, px, jnp.where(kz == 1, py, pz))
-                    return ax_, ay_, az_
+                if perm is not None:
+                    # packet-uniform permutation: the dominant-axis sort
+                    # bits make (kx, ky, kz) identical across the packet,
+                    # so the per-lane where-chains collapse to STATIC
+                    # column loads (~20% of the leaf test's vector ops)
+                    KX, KY, KZ = perm
+
+                    def permsel(col):
+                        return ps(col + KX), ps(col + KY), ps(col + KZ)
+                else:
+                    def permsel(col):
+                        px, py, pz = ps(col), ps(col + 1), ps(col + 2)
+                        ax_ = jnp.where(kx == 0, px,
+                                        jnp.where(kx == 1, py, pz))
+                        ay_ = jnp.where(ky == 0, px,
+                                        jnp.where(ky == 1, py, pz))
+                        az_ = jnp.where(kz == 0, px,
+                                        jnp.where(kz == 1, py, pz))
+                        return ax_, ay_, az_
 
                 a0x, a0y, a0z = permsel(0)
                 a1x, a1y, a1z = permsel(3)
@@ -267,7 +280,28 @@ def traverse_loop(node_at, prim_at, rays, t_ref, gid_ref, b1_ref, b2_ref,
         if with_stats:
             c_tests = c_tests + jnp.where(
                 is_leaf_pop, jnp.minimum(-raw - 1 & 63, max_leaf), 0)
-        sp = jax.lax.cond(raw < 0, leaf, interior, sp)
+        if perm_info is None:
+            leaf_fn = leaf
+        else:
+            # packet-uniform watertight permutation dispatch: with the
+            # dominant-axis sort bits in the coherence key, almost every
+            # packet is (kx, ky, kz)-uniform and takes a static branch
+            uni, pidx = perm_info
+
+            def leaf_uniform(sp):
+                return jax.lax.switch(pidx, [
+                    lambda s: leaf(s, (1, 2, 0)),   # kz=0
+                    lambda s: leaf(s, (2, 1, 0)),   # kz=0, swapped
+                    lambda s: leaf(s, (2, 0, 1)),   # kz=1
+                    lambda s: leaf(s, (0, 2, 1)),   # kz=1, swapped
+                    lambda s: leaf(s, (0, 1, 2)),   # kz=2
+                    lambda s: leaf(s, (1, 0, 2)),   # kz=2, swapped
+                ], sp)
+
+            def leaf_fn(sp):
+                return jax.lax.cond(uni, leaf_uniform,
+                                    lambda s: leaf(s), sp)
+        sp = jax.lax.cond(raw < 0, leaf_fn, interior, sp)
         return sp, c_nodes, c_leaves, c_tests
 
     zero = jnp.int32(0)
@@ -305,13 +339,19 @@ def _kernel(nodes_ref, prims_ref,
 
     rays = (ox, oy, oz, dx, dy, dz, ix, iy, iz,
             kx, ky, kz, sx, sy, sz, o_kx, o_ky, o_kz)
+    # packet-uniform permutation classification (see traverse_loop)
+    kx_mx = jnp.max(kx)
+    kz_mx = jnp.max(kz)
+    uni = (jnp.min(kx) == kx_mx) & (jnp.min(kz) == kz_mx)
+    swapped = (kx_mx == jax.lax.rem(kz_mx + 2, 3)).astype(jnp.int32)
+    perm_info = (uni, kz_mx * 2 + swapped)
     n_nodes, n_leaves, n_tests = traverse_loop(
         lambda n, c, col: nodes_ref[n, c, col],
         lambda first, k, col: prims_ref[first + k, col],
         rays, t_ref, gid_ref, b1_ref, b2_ref, stack_ref,
         max_leaf=max_leaf, any_hit=any_hit, has_spheres=has_spheres,
         with_stats=with_stats,
-        node_tile=lambda n: nodes_ref[n])
+        node_tile=lambda n: nodes_ref[n], perm_info=perm_info)
     # broadcast the packet-level counters to the per-ray tiles once
     visits_ref[0] = jnp.full((8, 128), n_nodes, jnp.int32)
     leaves_ref[0] = jnp.full((8, 128), n_leaves, jnp.int32)

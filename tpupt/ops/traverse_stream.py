@@ -83,6 +83,13 @@ def _kernel_unified(top_ref, nodes_hbm, prims_hbm,
     o_kz = jnp.where(kz == 0, ox, jnp.where(kz == 1, oy, oz))
     rays = (ox, oy, oz, dx, dy, dz, ix, iy, iz,
             kx, ky, kz, sx, sy, sz, o_kx, o_ky, o_kz)
+    # packet-uniform watertight-permutation classification (see
+    # traverse_pallas.traverse_loop) — computed once per packet
+    kx_mx = jnp.max(kx)
+    kz_mx = jnp.max(kz)
+    k_uni = (jnp.min(kx) == kx_mx) & (jnp.min(kz) == kz_mx)
+    k_swap = (kx_mx == jax.lax.rem(kz_mx + 2, 3)).astype(jnp.int32)
+    perm_info = (k_uni, kz_mx * 2 + k_swap)
 
     top_stack[0] = 0
     top_tn[0] = 0.0
@@ -204,7 +211,7 @@ def _kernel_unified(top_ref, nodes_hbm, prims_hbm,
                 rays, t_ref, gid_ref, b1_ref, b2_ref, walk_stack,
                 max_leaf=max_leaf, any_hit=any_hit,
                 has_spheres=has_spheres, with_stats=with_stats,
-                sp_init=jnp.where(run, 1, 0))
+                sp_init=jnp.where(run, 1, 0), perm_info=perm_info)
             if with_stats:
                 visits_ref[0] = visits_ref[0] + n_nodes
                 leaves_ref[0] = leaves_ref[0] + n_leaves
