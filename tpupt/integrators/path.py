@@ -56,6 +56,40 @@ class ShadingPoint(NamedTuple):
     face: jnp.ndarray    # (N,) i32 ptex faceIndex (interaction.h:156)
 
 
+def tri_shade_table(ds):
+    """Packed per-triangle shading rows (T, 27): p0 p1 p2 n0 n1 n2 (18) |
+    uv0 uv1 uv2 (6) | mat light face as bitcast i32 (3).
+
+    TPU gathers are latency-bound PER ROW (~4.5 ms per 131k random rows),
+    so one packed row gather replaces the 12 per-field gathers that used
+    to dominate shading time. The concat itself is a cheap streaming copy
+    and is loop-invariant (CSE/hoisted across bounces); building it
+    in-trace keeps gradients flowing into the original tables."""
+    ints = jnp.stack([ds.tri_mat, ds.tri_light, ds.tri_face],
+                     axis=1).astype(jnp.int32)
+    return jnp.concatenate(
+        [ds.tri_p0, ds.tri_p1, ds.tri_p2, ds.tri_n0, ds.tri_n1, ds.tri_n2,
+         ds.tri_uv0, ds.tri_uv1, ds.tri_uv2,
+         jax.lax.bitcast_convert_type(ints, jnp.float32)], axis=1)
+
+
+def sph_shade_table(ds):
+    """Packed per-quadric shading rows (S, 23): w2o 3x4 row-major (12) |
+    kind radius zmin zmax phimax q1 q2 (7, kind as bitcast i32) |
+    reverse mat light (3, bitcast i32) | pad."""
+    kind = jax.lax.bitcast_convert_type(
+        ds.sph_kind.astype(jnp.int32), jnp.float32)[:, None]
+    ints = jnp.stack([ds.sph_reverse.astype(jnp.int32),
+                      ds.sph_mat.astype(jnp.int32),
+                      ds.sph_light.astype(jnp.int32)], axis=1)
+    return jnp.concatenate(
+        [ds.sph_w2o[:, :3, :].reshape(-1, 12), kind,
+         ds.sph_radius[:, None], ds.sph_zmin[:, None],
+         ds.sph_zmax[:, None], ds.sph_phimax[:, None],
+         ds.sph_q1[:, None], ds.sph_q2[:, None],
+         jax.lax.bitcast_convert_type(ints, jnp.float32)], axis=1)
+
+
 def shading_point(ds: DeviceScene, st: SceneStatics, hit, o, d) -> ShadingPoint:
     """SurfaceInteraction assembly (core/interaction.cpp:94 analog).
     Miss lanes get a finite dummy position (inf primals poison reverse-mode
@@ -69,27 +103,34 @@ def shading_point(ds: DeviceScene, st: SceneStatics, hit, o, d) -> ShadingPoint:
     b1 = hit.b1
     b2 = hit.b2
     b0 = 1.0 - b1 - b2
-    ns_t = normalize(b0[..., None] * ds.tri_n0[tid]
-                     + b1[..., None] * ds.tri_n1[tid]
-                     + b2[..., None] * ds.tri_n2[tid])
-    ng_t = normalize(cross(ds.tri_p1[tid] - ds.tri_p0[tid],
-                           ds.tri_p2[tid] - ds.tri_p0[tid]))
+    row = tri_shade_table(ds)[tid]  # ONE row gather for all tri fields
+    t_p0, t_p1, t_p2 = row[:, 0:3], row[:, 3:6], row[:, 6:9]
+    t_n0, t_n1, t_n2 = row[:, 9:12], row[:, 12:15], row[:, 15:18]
+    t_uv0, t_uv1, t_uv2 = row[:, 18:20], row[:, 20:22], row[:, 22:24]
+    t_ints = jax.lax.bitcast_convert_type(row[:, 24:27], jnp.int32)
+    ns_t = normalize(b0[..., None] * t_n0 + b1[..., None] * t_n1
+                     + b2[..., None] * t_n2)
+    ng_t = normalize(cross(t_p1 - t_p0, t_p2 - t_p0))
     # keep ng on the same side as ns (triangle.cpp:414 orients ng to ns)
     ng_t = jnp.where(dot(ng_t, ns_t)[..., None] < 0.0, -ng_t, ng_t)
-    uv_t = (b0[..., None] * ds.tri_uv0[tid] + b1[..., None] * ds.tri_uv1[tid]
-            + b2[..., None] * ds.tri_uv2[tid])
-    mat_t = ds.tri_mat[tid]
-    light_t = ds.tri_light[tid]
+    uv_t = (b0[..., None] * t_uv0 + b1[..., None] * t_uv1
+            + b2[..., None] * t_uv2)
+    mat_t = t_ints[:, 0]
+    light_t = t_ints[:, 1]
 
     sid = jnp.clip(prim - st.n_tris, 0, max(st.n_spheres - 1, 0))
+    srow = sph_shade_table(ds)[sid]  # ONE row gather for quadric fields
+    s_w2o = srow[:, 0:12].reshape(-1, 3, 4)
+    s_kind = jax.lax.bitcast_convert_type(srow[:, 12], jnp.int32)
+    s_ints = jax.lax.bitcast_convert_type(srow[:, 20:23], jnp.int32)
     n_obj, u_s, v_s = quadric_normal_uv(
-        hit.p_obj, ds.sph_kind[sid], ds.sph_radius[sid], ds.sph_zmin[sid],
-        ds.sph_zmax[sid], ds.sph_phimax[sid], ds.sph_q1[sid], ds.sph_q2[sid])
-    ns_s = transform_normal(ds.sph_w2o[sid], n_obj)
-    ns_s = jnp.where(ds.sph_reverse[sid][..., None], -ns_s, ns_s)
+        hit.p_obj, s_kind, srow[:, 13], srow[:, 14],
+        srow[:, 15], srow[:, 16], srow[:, 18], srow[:, 19])
+    ns_s = transform_normal(s_w2o, n_obj)
+    ns_s = jnp.where((s_ints[:, 0] != 0)[..., None], -ns_s, ns_s)
     uv_s = jnp.stack([u_s, v_s], -1)
-    mat_s = ds.sph_mat[sid]
-    light_s = ds.sph_light[sid]
+    mat_s = s_ints[:, 1]
+    light_s = s_ints[:, 2]
 
     sel = is_tri[..., None]
     return ShadingPoint(
@@ -99,7 +140,7 @@ def shading_point(ds: DeviceScene, st: SceneStatics, hit, o, d) -> ShadingPoint:
         uv=jnp.where(sel, uv_t, uv_s),
         mat=jnp.where(is_tri, mat_t, mat_s),
         light=jnp.where(is_tri, light_t, light_s),
-        face=jnp.where(is_tri, ds.tri_face[tid], 0),
+        face=jnp.where(is_tri, t_ints[:, 2], 0),
     )
 
 
@@ -178,26 +219,69 @@ def ray_sort_keys(o, d, tmax, world_lo, world_hi, spatial: bool = False):
     return (dead << jnp.uint32(31)) | (octant << jnp.uint32(28)) | morton
 
 
+def _permute_packed(arrays, perm):
+    """Permute several same-length arrays with ONE row gather.
+
+    TPU gathers are LATENCY-bound per row (~4.5 ms per 131k random rows
+    on v5e, nearly independent of row width), so permuting k fields as k
+    separate gathers costs k times more than concatenating them into one
+    (N, c) matrix, gathering once, and slicing columns back out. Ints
+    ride as bitcast f32 columns."""
+    cols = []
+    specs = []  # (ndim, dtype, width)
+    for a in arrays:
+        two_d = a.ndim == 2
+        w = a.shape[1] if two_d else 1
+        col = a if two_d else a[:, None]
+        if col.dtype != jnp.float32:
+            col = jax.lax.bitcast_convert_type(
+                col.astype(jnp.int32), jnp.float32)
+        cols.append(col)
+        specs.append((two_d, a.dtype, w))
+    packed = jnp.concatenate(cols, axis=1)[perm]
+    out = []
+    off = 0
+    for two_d, dtype, w in specs:
+        col = packed[:, off:off + w]
+        off += w
+        if dtype == jnp.bool_:
+            col = jax.lax.bitcast_convert_type(col, jnp.int32) != 0
+        elif dtype != jnp.float32:
+            col = jax.lax.bitcast_convert_type(col, jnp.int32).astype(dtype)
+        out.append(col if two_d else col[:, 0])
+    return out
+
+
 def make_sorted_isect(isect, isect_p, spatial=None):
     """Wrap traversal calls with coherence sorting + inverse scatter.
     spatial=None keys off st.two_level (historic default); True forces the
     octant+Morton keys — measured +23% whole-render on killeroo when
     applied to the single-level packet kernel's SECONDARY bounces (the
     hard image batches improve 25-31%; bounce-0 camera rays are already
-    tile-coherent and sorting them only costs)."""
+    tile-coherent and sorting them only costs). Forward and inverse
+    permutations are single packed row-gathers (see _permute_packed)."""
 
     def isect_sorted(ds, st, o, d, tmax, **kw):
         n = o.shape[0]
         sp = st.two_level if spatial is None else spatial
         perm = jnp.argsort(ray_sort_keys(o, d, tmax, ds.world_lo,
                                          ds.world_hi, spatial=sp))
-        if kw.get("time") is not None:
-            kw["time"] = kw["time"][perm]
-        hit, stats = isect(ds, st, o[perm], d[perm], tmax[perm], **kw)
+        t_arr = kw.pop("time", None)
+        if t_arr is not None:
+            o2, d2, t2, time2 = _permute_packed([o, d, tmax, t_arr], perm)
+            kw["time"] = time2
+        else:
+            o2, d2, t2 = _permute_packed([o, d, tmax], perm)
+        hit, stats = isect(ds, st, o2, d2, t2, **kw)
         inv = jnp.zeros(n, jnp.int32).at[perm].set(
             jnp.arange(n, dtype=jnp.int32))
-        hit = jax.tree.map(lambda a: a[inv], hit)
-        stats = jax.tree.map(lambda a: a[inv], stats)
+        h_leaves = jax.tree.leaves(hit)
+        s_leaves = jax.tree.leaves(stats)
+        un = _permute_packed(h_leaves + s_leaves, inv)
+        hit = jax.tree.unflatten(jax.tree.structure(hit),
+                                 un[: len(h_leaves)])
+        stats = jax.tree.unflatten(jax.tree.structure(stats),
+                                   un[len(h_leaves):])
         return hit, stats
 
     def isect_p_sorted(ds, st, o, d, tmax, **kw):
@@ -205,12 +289,19 @@ def make_sorted_isect(isect, isect_p, spatial=None):
         sp = st.two_level if spatial is None else spatial
         perm = jnp.argsort(ray_sort_keys(o, d, tmax, ds.world_lo,
                                          ds.world_hi, spatial=sp))
-        if kw.get("time") is not None:
-            kw["time"] = kw["time"][perm]
-        occ, stats = isect_p(ds, st, o[perm], d[perm], tmax[perm], **kw)
+        t_arr = kw.pop("time", None)
+        if t_arr is not None:
+            o2, d2, t2, time2 = _permute_packed([o, d, tmax, t_arr], perm)
+            kw["time"] = time2
+        else:
+            o2, d2, t2 = _permute_packed([o, d, tmax], perm)
+        occ, stats = isect_p(ds, st, o2, d2, t2, **kw)
         inv = jnp.zeros(n, jnp.int32).at[perm].set(
             jnp.arange(n, dtype=jnp.int32))
-        return occ[inv], jax.tree.map(lambda a: a[inv], stats)
+        s_leaves = jax.tree.leaves(stats)
+        un = _permute_packed([occ] + s_leaves, inv)
+        stats = jax.tree.unflatten(jax.tree.structure(stats), un[1:])
+        return un[0], stats
 
     return isect_sorted, isect_p_sorted
 

@@ -62,9 +62,11 @@ def _light_img_fetch(ds, light_id, u, v):
 
 
 def _gather_tri_light_geo(ds, prim):
-    p0 = ds.tri_p0[prim]
-    p1 = ds.tri_p1[prim]
-    p2 = ds.tri_p2[prim]
+    # one packed row gather (TPU gathers are latency-bound per row); the
+    # concat is loop-invariant and CSE'd with shading_point's table
+    tab = jnp.concatenate([ds.tri_p0, ds.tri_p1, ds.tri_p2], axis=1)
+    row = tab[prim]
+    p0, p1, p2 = row[:, 0:3], row[:, 3:6], row[:, 6:9]
     nn = cross(p1 - p0, p2 - p0)
     area2 = length(nn)
     n = nn / jnp.maximum(area2, 1e-20)[..., None]
@@ -79,14 +81,35 @@ def _sphere_center_radius(ds, sid):
     return c, ds.sph_radius[sid] * s
 
 
+def _light_table(ds):
+    """Packed per-light rows (L, 14): one row gather replaces the 8
+    per-field gathers (TPU gathers are latency-bound per row); the concat
+    over the tiny light table is free and loop-invariant."""
+    import jax
+
+    ints = jnp.stack([ds.light_type.astype(jnp.int32),
+                      ds.light_prim.astype(jnp.int32),
+                      ds.light_twosided.astype(jnp.int32)], axis=1)
+    return jnp.concatenate(
+        [ds.light_L, ds.light_pos, ds.light_dir,
+         ds.light_cos_total[:, None], ds.light_cos_falloff[:, None],
+         jax.lax.bitcast_convert_type(ints, jnp.float32)], axis=1)
+
+
 def sample_li(ds, st, light_id, p, u1, u2):
     """Sample one light toward shading points p (N,3). light_id (N,) i32."""
-    lt = ds.light_type[light_id]
-    lL = ds.light_L[light_id]
-    lpos = ds.light_pos[light_id]
-    ldir = ds.light_dir[light_id]
-    lprim = ds.light_prim[light_id]
-    ltwo = ds.light_twosided[light_id]
+    import jax
+
+    lrow = _light_table(ds)[light_id]
+    lL = lrow[:, 0:3]
+    lpos = lrow[:, 3:6]
+    ldir = lrow[:, 6:9]
+    _ct = lrow[:, 9]
+    _cf = lrow[:, 10]
+    _li_ints = jax.lax.bitcast_convert_type(lrow[:, 11:14], jnp.int32)
+    lt = _li_ints[:, 0]
+    lprim = _li_ints[:, 1]
+    ltwo = _li_ints[:, 2] != 0
     wr = _world_radius(ds)
 
     n = p.shape[0]
@@ -100,8 +123,8 @@ def sample_li(ds, st, light_id, p, u1, u2):
     li_point = lL / d2[..., None]
     # spot falloff (lights/spot.cpp Falloff)
     cos_axis = dot(-wi_p, ldir)
-    ct = ds.light_cos_total[light_id]
-    cf = ds.light_cos_falloff[light_id]
+    ct = _ct
+    cf = _cf
     delta = jnp.clip((cos_axis - ct) / jnp.maximum(cf - ct, 1e-6), 0.0, 1.0)
     falloff = delta * delta * (delta * delta)
     li_spot = li_point * jnp.where(cos_axis < ct, 0.0,
@@ -123,8 +146,7 @@ def sample_li(ds, st, light_id, p, u1, u2):
         li_gonio = li_point * g_scale
         # projection: perspective map through the fov window
         wz = jnp.maximum(d_l[..., 2], 1e-6)
-        half_tan = jnp.tan(jnp.arccos(jnp.clip(
-            ds.light_cos_total[light_id], -1.0, 1.0)))
+        half_tan = jnp.tan(jnp.arccos(jnp.clip(_ct, -1.0, 1.0)))
         aspect = (ds.light_img_w[light_id].astype(jnp.float32)
                   / jnp.maximum(ds.light_img_h[light_id], 1))
         su = d_l[..., 0] / (wz * jnp.maximum(half_tan, 1e-6))

@@ -101,18 +101,39 @@ def gather_mat_params(ds, mat_id, uv=None, p=None, has_textures=False,
                                     fourier_meta=fourier_meta,
                                     tex_width=tex_width,
                                     tex_aniso=tex_aniso, face=face))
-    rough = ds.mat_roughness[mat_id]
-    ur = ds.mat_urough[mat_id]
-    vr = ds.mat_vrough[mat_id]
+    # ONE packed row gather for the whole material record: TPU gathers
+    # are latency-bound per row (~4.5 ms / 131k rows on v5e), so the 14
+    # per-field gathers this replaces dominated shading time. The concat
+    # is an in-trace streaming copy over the (tiny) material table, which
+    # keeps gradients flowing into ds.mat_kd/mat_ks/mat_roughness (they
+    # are training parameters) and gets hoisted out of the bounce loop.
+    mrow_ints = jnp.stack([ds.mat_type.astype(jnp.int32),
+                           ds.mat_remap.astype(jnp.int32)], axis=1)
+    mtab = jnp.concatenate(
+        [ds.mat_kd, ds.mat_ks, ds.mat_kr, ds.mat_kt, ds.mat_eta, ds.mat_k,
+         ds.mat_roughness[:, None], ds.mat_urough[:, None],
+         ds.mat_vrough[:, None], ds.mat_sigma[:, None],
+         jax.lax.bitcast_convert_type(mrow_ints, jnp.float32),
+         ds.mat_extra], axis=1)
+    mrow = mtab[mat_id]
+    m_kd, m_ks = mrow[:, 0:3], mrow[:, 3:6]
+    m_kr, m_kt = mrow[:, 6:9], mrow[:, 9:12]
+    m_eta, m_k = mrow[:, 12:15], mrow[:, 15:18]
+    rough = mrow[:, 18]
+    ur = mrow[:, 19]
+    vr = mrow[:, 20]
+    m_ints = jax.lax.bitcast_convert_type(mrow[:, 22:24], jnp.int32)
+    m_type = m_ints[:, 0]
+    remap = m_ints[:, 1] != 0
+    m_extra = mrow[:, 24:36]
     ur = jnp.where(ur >= 0.0, ur, rough)
     vr = jnp.where(vr >= 0.0, vr, rough)
-    remap = ds.mat_remap[mat_id]
     ax = jnp.where(remap, roughness_to_alpha(ur), jnp.maximum(ur, 1e-3))
     ay = jnp.where(remap, roughness_to_alpha(vr), jnp.maximum(vr, 1e-3))
-    sigma = jnp.deg2rad(ds.mat_sigma[mat_id])
+    sigma = jnp.deg2rad(mrow[:, 21])
     s2 = sigma * sigma
-    kd = ds.mat_kd[mat_id]
-    ks = ds.mat_ks[mat_id]
+    kd = m_kd
+    ks = m_ks
     if has_textures and uv is not None:
         from tpupt.textures.textures import eval_texture
 
@@ -130,14 +151,14 @@ def gather_mat_params(ds, mat_id, uv=None, p=None, has_textures=False,
                               width=tex_width, aniso=tex_aniso, face=face)
         ks = jnp.where((ks_tid >= 0)[:, None], ks_tex, ks)
     return MatParams(
-        type=ds.mat_type[mat_id],
+        type=m_type,
         kd=kd, ks=ks,
-        kr=ds.mat_kr[mat_id], kt=ds.mat_kt[mat_id],
+        kr=m_kr, kt=m_kt,
         alpha_x=ax, alpha_y=ay,
-        eta=ds.mat_eta[mat_id], k=ds.mat_k[mat_id],
+        eta=m_eta, k=m_k,
         sigma_a=1.0 - s2 / (2.0 * (s2 + 0.33)),
         sigma_b=0.45 * s2 / (s2 + 0.09),
-        extra=ds.mat_extra[mat_id],
+        extra=m_extra,
         rough=rough,
         h=(jnp.clip(-1.0 + 2.0 * uv[..., 1], -1.0, 1.0) if uv is not None
            else jnp.zeros_like(rough)),
