@@ -120,12 +120,14 @@ def shading_point(ds: DeviceScene, st: SceneStatics, hit, o, d) -> ShadingPoint:
 
     sid = jnp.clip(prim - st.n_tris, 0, max(st.n_spheres - 1, 0))
     srow = sph_shade_table(ds)[sid]  # ONE row gather for quadric fields
+    # row layout: 0-11 w2o | 12 kind | 13 radius | 14 zmin | 15 zmax |
+    # 16 phimax | 17 q1 | 18 q2 | 19 reverse | 20 mat | 21 light
     s_w2o = srow[:, 0:12].reshape(-1, 3, 4)
     s_kind = jax.lax.bitcast_convert_type(srow[:, 12], jnp.int32)
-    s_ints = jax.lax.bitcast_convert_type(srow[:, 20:23], jnp.int32)
+    s_ints = jax.lax.bitcast_convert_type(srow[:, 19:22], jnp.int32)
     n_obj, u_s, v_s = quadric_normal_uv(
         hit.p_obj, s_kind, srow[:, 13], srow[:, 14],
-        srow[:, 15], srow[:, 16], srow[:, 18], srow[:, 19])
+        srow[:, 15], srow[:, 16], srow[:, 17], srow[:, 18])
     ns_s = transform_normal(s_w2o, n_obj)
     ns_s = jnp.where((s_ints[:, 0] != 0)[..., None], -ns_s, ns_s)
     uv_s = jnp.stack([u_s, v_s], -1)

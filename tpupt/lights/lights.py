@@ -211,10 +211,16 @@ def sample_li(ds, st, light_id, p, u1, u2):
     ds_ = dc * cos_alpha - jnp.sqrt(jnp.maximum(
         sr * sr - dc2 * (1.0 - cos_alpha * cos_alpha), 1e-20))
     li_sph = lL
-    # inside the sphere: fall back to uniform sphere-area sampling is rare;
-    # emit zero (the reference handles it via area sampling)
+    # inside the sphere (the reference area-samples, sphere.cpp:232): our
+    # cone sampler cannot generate useful directions, so the light
+    # strategy is declared DEAD — li = 0 AND pdf = 0. pdf_li mirrors
+    # this, so the BSDF-sampled side's MIS weight becomes 1 and emission
+    # reaches the path at full weight (leaving pdf > 0 here while
+    # contributing nothing made MIS down-weight BSDF hits by a density
+    # the light strategy never delivered: a measured energy loss on the
+    # analytic interior-sphere-light scene)
     li_sph = jnp.where(inside[..., None], 0.0, li_sph)
-    pdf_sph = jnp.where(inside, 1.0, pdf_sph)
+    pdf_sph = jnp.where(inside, 0.0, pdf_sph)
 
     wi_area = jnp.where(is_tri_prim[..., None], wi_tri, wi_sph)
     li_area = jnp.where(is_tri_prim[..., None], li_tri, li_sph)
@@ -264,6 +270,9 @@ def pdf_li(ds, st, p, wi, hit_prim, hit_t):
     sin2_max = jnp.clip(sr * sr / dc2, 0.0, 1.0 - 1e-7)
     cos_max = jnp.sqrt(1.0 - sin2_max)
     pdf_sph = uniform_cone_pdf(jnp.minimum(cos_max, 1.0 - 1e-7))
+    # from inside the sphere the light strategy is dead (see sample_li);
+    # its claimed density must be 0 so the BSDF side's MIS weight is 1
+    pdf_sph = jnp.where(dc2 <= sr * sr * 1.0001, 0.0, pdf_sph)
 
     return jnp.where(is_tri, pdf_tri, pdf_sph)
 
