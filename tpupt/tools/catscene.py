@@ -104,7 +104,11 @@ def cat_scene(desc, out, to_ply: bool = False, ply_dir: str = "."):
             N = sh.params.find_points("N")
             fn = f"mesh_{n_ply:05d}.ply"
             n_ply += 1
-            write_ply(os.path.join(ply_dir, fn), P.reshape(-1, 3), idx,
+            path = os.path.join(ply_dir, fn)
+            if os.path.exists(path):
+                raise FileExistsError(
+                    f"refusing to overwrite {path} (pass a clean ply_dir)")
+            write_ply(path, P.reshape(-1, 3), idx,
                       N=(np.asarray(N, np.float32).reshape(-1, 3)
                          if N is not None and len(N) else None))
             w(f'  Shape "plymesh" "string filename" [ "{fn}" ]\n')

@@ -104,7 +104,11 @@ def main(argv=None):
 
         from tpupt.tools.catscene import cat_scene
 
-        out_dir = os.path.dirname(os.path.abspath(args.scene))
+        # PLY sidecars go to the CURRENT directory like the reference
+        # (pbrt --toply writes relative to cwd) — never into the source
+        # scene's directory, where mesh_NNNNN.ply could silently
+        # overwrite existing files (ADVICE r4)
+        out_dir = os.getcwd()
         n_ply = cat_scene(desc, _sys.stdout, to_ply=args.toply,
                           ply_dir=out_dir)
         if args.toply and not args.quiet:
