@@ -67,11 +67,64 @@ def fresnel_moment1(inv_eta):
     return jnp.where(e < 1.0, lo, hi)
 
 
+_RADIUS0 = 2.5e-3          # shared optical radius grid (bssrdf.cpp:664)
+_LOG_RATIO = float(jnp.log(1.2))
+
+
+def _tab_profile_eval(P, r_opt):
+    """Interpolate the per-lane (N, 64) profile rows at optical radius
+    r_opt (N,). The grid is geometric (r_j = 2.5e-3 * 1.2^(j-1), r_0 = 0)
+    so the bracketing index is a log, not a search."""
+    j = 1.0 + jnp.log(jnp.maximum(r_opt, _RADIUS0) / _RADIUS0) / _LOG_RATIO
+    j = jnp.clip(j, 0.0, 62.999)
+    j0 = j.astype(jnp.int32)
+    w = j - j0.astype(jnp.float32)
+    p0 = jnp.take_along_axis(P, j0[:, None], 1)[:, 0]
+    p1 = jnp.take_along_axis(P, (j0 + 1)[:, None], 1)[:, 0]
+    lo = r_opt < _RADIUS0  # first segment is [0, 2.5e-3], linear in r
+    w = jnp.where(lo, r_opt / _RADIUS0, w)
+    p0 = jnp.where(lo, jnp.take_along_axis(P, jnp.zeros_like(j0)[:, None],
+                                           1)[:, 0], p0)
+    return (1.0 - w) * p0 + w * p1
+
+
+def tabulated_sample_weight(ds, mat_id, ch, u_r, r_dummy):
+    """(r, w_profile_rgb) from the tabulated beam-diffusion profile
+    (TabulatedBSSRDF::Sr / Sample_Sr, bssrdf.cpp:277-340): one packed
+    row gather per lane; radius from the per-channel piecewise-linear
+    inverse cdf; the channel-MIS weight is Sp_rgb / mean_c(Sp_c/rho_eff_c)
+    exactly like the Burley path (area-measure densities)."""
+    row = ds.sss_pack[mat_id]
+    sig_t = jnp.maximum(row[:, 0:3], 1e-6)
+    rho_eff = jnp.maximum(row[:, 3:6], 1e-6)
+    P = row[:, 6:198].reshape(-1, 3, 64)
+    inv = row[:, 198:390].reshape(-1, 3, 64)
+    inv_c = jnp.take_along_axis(
+        inv, ch[:, None, None], 1)[:, 0, :]           # (N, 64)
+    f = jnp.clip(u_r, 0.0, 1.0 - 1e-6) * 63.0
+    j0 = f.astype(jnp.int32)
+    w = f - j0.astype(jnp.float32)
+    r0 = jnp.take_along_axis(inv_c, j0[:, None], 1)[:, 0]
+    r1 = jnp.take_along_axis(inv_c, (j0 + 1)[:, None], 1)[:, 0]
+    r_opt_c = (1.0 - w) * r0 + w * r1
+    sig_c = jnp.take_along_axis(sig_t, ch[:, None], 1)[:, 0]
+    r = jnp.maximum(r_opt_c / sig_c, 1e-6)
+    # Sp_c(r) = sigma_t_c * P_c(sigma_t_c r) / (2 pi r)  (area measure)
+    sp_rgb = jnp.stack(
+        [sig_t[:, c] * _tab_profile_eval(P[:, c, :], r * sig_t[:, c])
+         for c in range(3)], -1) / (2.0 * jnp.pi * r[:, None])
+    pdf_mix = jnp.mean(sp_rgb / rho_eff, -1)
+    w_profile = sp_rgb / jnp.maximum(pdf_mix, 1e-20)[:, None]
+    return r, w_profile
+
+
 def sss_exit(ds, st, isect, mp, sp, entered, key):
     """Sample a BSSRDF exit VERTEX for lanes that transmitted into a
     subsurface material (Sample_Sp, bssrdf.cpp:158-230). Returns
     (p_exit, n_exit, w_profile_rgb, c_norm, ok); the caller runs NEE and
-    the Sw exit lobe at the vertex like path.cpp:167-189."""
+    the Sw exit lobe at the vertex like path.cpp:167-189. The radial
+    profile is the tabulated beam-diffusion model (bssrdf.cpp:145) when
+    the scene carries tables, else the Burley approximation."""
     u_ch = rngm.uniform_float(key, 101)
     u_r = rngm.uniform_float(key, 102)
     u_phi = rngm.uniform_float(key, 103)
@@ -80,7 +133,10 @@ def sss_exit(ds, st, isect, mp, sp, entered, key):
     rho = mp.kd
     ch = jnp.minimum((u_ch * 3.0).astype(jnp.int32), 2)
     d_c = jnp.take_along_axis(d_rgb, ch[:, None], 1)[:, 0]
-    r = burley_sample_r(u_r, d_c)
+    if getattr(st, "has_bssrdf_table", False):
+        r, w_tab = tabulated_sample_weight(ds, sp.mat, ch, u_r, d_c)
+    else:
+        r = burley_sample_r(u_r, d_c)
 
     # probe straight down the shading normal from a disk point at radius r
     # (single-axis version of the reference's 3-axis probe chain)
@@ -102,9 +158,13 @@ def sss_exit(ds, st, isect, mp, sp, entered, key):
     n_exit = jnp.where(ok[:, None], spe.ns, sp.ns)
 
     # channel-MIS profile weight: Sp_rgb(r) / mean_c pdf_c(r)
-    prof_rgb = burley_profile(r[:, None], d_rgb)
-    pdf_mix = jnp.mean(prof_rgb, -1)
-    w_profile = rho * prof_rgb / jnp.maximum(pdf_mix, 1e-20)[:, None]
+    if getattr(st, "has_bssrdf_table", False):
+        # tabulated Sp already integrates to rho_eff — no extra rho scale
+        w_profile = w_tab
+    else:
+        prof_rgb = burley_profile(r[:, None], d_rgb)
+        pdf_mix = jnp.mean(prof_rgb, -1)
+        w_profile = rho * prof_rgb / jnp.maximum(pdf_mix, 1e-20)[:, None]
 
     eta1 = mp.eta[:, 0]
     c_norm = jnp.maximum(1.0 - 2.0 * fresnel_moment1(1.0 / eta1), 1e-3)

@@ -171,6 +171,10 @@ class DeviceScene(NamedTuple):
     alt_ndir: jnp.ndarray = None      # (K,3) per-node split dirs (BSP only)
     alt_dirs: jnp.ndarray = None      # (D,3) shared direction table
     alt_pack: jnp.ndarray = None      # (K/128,8,128) dense node tiles (Pallas)
+    # tabulated beam-diffusion BSSRDF (bssrdf.cpp:145): per-material row
+    # [sigma_t(3) | rho_eff(3) | profile 3x64 | inverse-cdf 3x64] in the
+    # shared unitless radius grid (materials/bssrdf_table.py)
+    sss_pack: jnp.ndarray = None      # (M, 390) f32
 
 
 class SceneStatics(NamedTuple):
@@ -206,6 +210,8 @@ class SceneStatics(NamedTuple):
     cam_animated: bool = False
     shutter_open: float = 0.0
     shutter_close: float = 1.0
+    # tabulated beam-diffusion BSSRDF tables present (bssrdf.cpp:145)
+    has_bssrdf_table: bool = False
     # spectral transport (spectrum.h:50 PBRT_SAMPLED_SPECTRUM analog):
     # 3 = RGB transport; 60 = full sampled-spectrum transport — colors are
     # uplifted to 60-bin SPDs where they enter the throughput chain and the
@@ -575,6 +581,7 @@ def upload(scene: FlatScene, bvh: BVHArrays = None,
     leaf_metas = metas[(metas < 0) & (metas != -2**31)]
     wide_max_leaf = (int(((-leaf_metas - 1) & 63).max())
                      if leaf_metas.size else 1)
+    sss_pack = _sss_pack_rows(m)
     statics = SceneStatics(
         n_tris=t.count, n_spheres=s.count, n_lights=n_lights,
         max_leaf=max(wide_max_leaf, 1),
@@ -608,7 +615,10 @@ def upload(scene: FlatScene, bvh: BVHArrays = None,
         shutter_open=float(cam.shutter_open),
         shutter_close=float(cam.shutter_close),
         n_channels=60 if spectral else 3,
+        has_bssrdf_table=sss_pack is not None,
     )
+    if sss_pack is not None:
+        ds = ds._replace(sss_pack=jnp.asarray(sss_pack))
     return ds, statics
 
 
@@ -662,3 +672,40 @@ def _env_fields(scene: FlatScene) -> dict:
         env_marg_func=d2.marg_func, env_marg_cdf=d2.marg_cdf,
         env_marg_integral=d2.marg_integral,
     )
+
+
+def _sss_pack_rows(m) -> "np.ndarray | None":
+    """Per-material tabulated-BSSRDF rows (None when the scene has no
+    subsurface materials). Row layout (390 f32): sigma_t (3) | rho_eff
+    (3) | per-channel profile P_c over the shared 64-point optical radius
+    grid (3x64) | per-channel inverse radial cdf r_opt(u) at 64 uniform
+    u nodes (3x64). P_c = 2 pi r_opt Sr_1(r_opt) at sigma_t = 1
+    (ComputeBeamDiffusionBSSRDF; materials/bssrdf_table.py)."""
+    is_sss = (m.type == MAT_SUBSURFACE) | (m.type == MAT_KDSUBSURFACE)
+    if not is_sss.any():
+        return None
+    from tpupt.materials.bssrdf_table import compute_beam_diffusion_table
+
+    n_m = len(m.type)
+    pack = np.zeros((n_m, 390), np.float32)
+    u_nodes = np.linspace(0.0, 1.0, 64)
+    for mi in np.nonzero(is_sss)[0]:
+        tab = compute_beam_diffusion_table(float(m.eta[mi, 0]))
+        sig_t = np.maximum(m.extra[mi, 3:6], 1e-6)
+        alpha = np.clip(m.extra[mi, 6:9], 0.0, float(tab.rho[-1]))
+        pack[mi, 0:3] = sig_t
+        pack[mi, 3:6] = np.interp(alpha, tab.rho, tab.rho_eff)
+        for c in range(3):
+            # interpolate the profile/cdf rows to this channel's albedo
+            k = np.searchsorted(tab.rho, alpha[c])
+            k = np.clip(k, 1, len(tab.rho) - 1)
+            w = ((alpha[c] - tab.rho[k - 1])
+                 / max(tab.rho[k] - tab.rho[k - 1], 1e-12))
+            prof = (1 - w) * tab.profile[k - 1] + w * tab.profile[k]
+            cdf = (1 - w) * tab.cdf[k - 1] + w * tab.cdf[k]
+            cdf = np.maximum.accumulate(cdf)
+            pack[mi, 6 + 64 * c: 6 + 64 * (c + 1)] = prof
+            # piecewise-linear inverse cdf at uniform u nodes
+            inv = np.interp(u_nodes, cdf, tab.radius)
+            pack[mi, 198 + 64 * c: 198 + 64 * (c + 1)] = inv
+    return pack

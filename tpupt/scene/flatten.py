@@ -510,6 +510,11 @@ class _MaterialTable:
                                               self.textures, ctx)
             row["remap"] = p.find_one_bool("remaproughness", True)
             scale = p.find_one_float("scale", 1.0)
+            from tpupt.materials.bssrdf_table import (
+                compute_beam_diffusion_table, subsurface_from_diffuse)
+
+            eta_m = float(row["eta"][0])
+            tab = compute_beam_diffusion_table(eta_m)
             if t == MAT_SUBSURFACE:
                 sig_a = np.asarray(_resolve_spectrum(
                     p, "sigma_a", [0.0011, 0.0024, 0.014], self.textures,
@@ -519,17 +524,23 @@ class _MaterialTable:
                     ctx)) * scale
                 sig_t = np.maximum(sig_a + sig_s, 1e-6)
                 alpha = sig_s / sig_t
-                # single-scatter albedo -> diffuse reflectance mapping
-                # (stands in for the reference's tabulated inversion,
-                # bssrdf.cpp ComputeBeamDiffusionBSSRDF / SubsurfaceFromDiffuse)
-                rho = np.clip(alpha * (0.5 + 0.5 * alpha ** 3), 0.0, 0.995)
                 mfp = 1.0 / sig_t
             else:
-                rho = np.clip(np.asarray(_resolve_spectrum(
+                # kdsubsurface.cpp: invert the tabulated rho -> rho_eff
+                # curve (SubsurfaceFromDiffuse, bssrdf.cpp:700)
+                kd_t = np.clip(np.asarray(_resolve_spectrum(
                     p, "Kd", [0.5] * 3, self.textures, ctx)), 0.0, 0.995)
                 mfp = np.full(3, p.find_one_float("mfp", 1.0))
+                sig_a, sig_s = subsurface_from_diffuse(tab, kd_t, mfp)
+                sig_t = np.maximum(sig_a + sig_s, 1e-6)
+                alpha = sig_s / sig_t
+            # diffuse reflectance = the table's effective albedo at the
+            # single-scatter albedo (ComputeBeamDiffusionBSSRDF rhoEff)
+            rho = np.clip(np.interp(alpha, tab.rho, tab.rho_eff), 0.0, 0.995)
             row["kd"] = rho
-            row["extra"][0:3] = _burley_d(rho, mfp)
+            row["extra"][0:3] = _burley_d(rho, mfp)  # Burley fallback
+            row["extra"][3:6] = sig_t                # tabulated profile
+            row["extra"][6:9] = np.clip(alpha, 0.0, float(tab.rho[-1]))
         elif t == MAT_FOURIER:
             # materials/fourier.cpp: tabulated BSDF from a .bsdf file; the
             # table itself is attached scene-wide at flatten() (one table
