@@ -128,13 +128,25 @@ def _kernel_unified(top_ref, nodes_hbm, prims_hbm,
 
         def interior(sp):
             node = raw
+            # dense-tile fetch of the whole top node (see traverse_pallas
+            # traverse_loop): one dynamic-major (8, 8) load + lane-masked
+            # reductions instead of 48 scalar VMEM loads per pop
+            tile = top_ref[node]
+            lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, 8), 1)
+
+            def fcol(f):
+                return jnp.sum(jnp.where(lane8 == f, tile, 0.0),
+                               axis=1, keepdims=True)
+
+            f_lox, f_loy, f_loz = fcol(0), fcol(1), fcol(2)
+            f_hix, f_hiy, f_hiz = fcol(3), fcol(4), fcol(5)
             for c in range(8):
-                lo_x = top_ref[node, c, 0]
-                lo_y = top_ref[node, c, 1]
-                lo_z = top_ref[node, c, 2]
-                hi_x = top_ref[node, c, 3]
-                hi_y = top_ref[node, c, 4]
-                hi_z = top_ref[node, c, 5]
+                lo_x = f_lox[c:c + 1]
+                lo_y = f_loy[c:c + 1]
+                lo_z = f_loz[c:c + 1]
+                hi_x = f_hix[c:c + 1]
+                hi_y = f_hiy[c:c + 1]
+                hi_z = f_hiz[c:c + 1]
                 t1x = (lo_x - ox) * ix
                 t2x = (hi_x - ox) * ix
                 t1y = (lo_y - oy) * iy

@@ -438,6 +438,12 @@ def upload(scene: FlatScene, bvh: BVHArrays = None,
 
     if two_level is None:
         two_level = not vmem_budget_ok(len(wide_nodes), len(prim_rows))
+    if two_level:
+        # streamed-treelet economics differ from the VMEM-resident kernel:
+        # fatter leaves mean fewer nodes per treelet DMA and fewer pops
+        # per drained treelet walk, so keep the r4 leaf size here (the
+        # single-level kernel measured faster at leaf_merge=4)
+        wide_nodes, _ = collapse_to_wide(bvh, leaf_merge=8)
     tla = None
     if two_level:
         tn, tp = treelet_budget or (_tl.TREELET_NODES, _tl.TREELET_PRIMS)
